@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship tiling pipeline at sf0.001 (kd partition ->
+                  bounding-volume tree roll-up), returns the tile tree.
+queries()      -> one callable per implemented operator (SURVEY.md section 2
+                  + training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()   -> matching DuckDB SQL for every SQL-expressible operator.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from py3dtilers_spark.data import features_df  # noqa: E402
+from py3dtilers_spark.operators.hierarchy import tile_tree  # noqa: E402
+from py3dtilers_spark.operators.kd_tree import kd_assign  # noqa: E402
+from py3dtilers_spark.queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: kd-tree tile partition of
+    the image+caption feature table + one-shuffle bounding-volume hierarchy
+    roll-up (the reference's Groups -> GeometryTree -> tileset spine)."""
+    feats = features_df(spark, "/root/testdata/sf0.001").select("image_id", "x", "y", "z")
+    tiled = kd_assign(feats, kd_tree_max=500)
+    return tile_tree(tiled).select(
+        "tile_id", "parent_id", "level", "is_leaf", "geometric_error",
+        "n_features", "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,99 @@
+"""Spatial cell encoding + point-in-polygon kernels.
+
+Two cell schemes (the engine's stand-ins for H3/S2 — neither lib is in the
+container, and the reference's own spatial key is a plain 1000 m cube,
+/root/reference/py3dtilers/Common/group.py:62-63,201-224):
+
+- ``grid_cell``: flat-grid bigint cell id from floor-divided x/y — pure
+  column math, stays in whole-stage codegen; used for join prefilters and
+  salting keys.
+- ``morton_key``: Z-order (bit-interleaved) key via a vectorized
+  Arrow-batched pandas UDF — numpy bitwise ops over whole batches, the
+  "batched H3/S2 cell encoding" of the north rule. Hierarchical: the key at
+  resolution r is a prefix of the key at r+1 (shift by 2 per level), which
+  is what makes bottom-up tile roll-ups a prefix aggregation.
+
+PIP kernel: vectorized even-odd ray casting over numpy arrays (replaces the
+reference's per-row shapely ``p.within(polygon)`` loop, group.py:173-184).
+Boundary rule: strictly-inside via even-odd crossing; ties on edges are
+measure-zero for real data and the pytest oracle applies the same rule.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# Extent of the synthetic features table (data/features.py).
+X0, Y0 = 1843000.0, 5173000.0
+
+
+def grid_cell(x: Column, y: Column, cell_size: float, x0: float = X0, y0: float = Y0) -> Column:
+    """Flat grid cell id = gx * 2^21 + gy (codegen-friendly, no UDF)."""
+    gx = F.floor((x - F.lit(x0)) / F.lit(cell_size))
+    gy = F.floor((y - F.lit(y0)) / F.lit(cell_size))
+    return (gx * F.lit(1 << 21) + gy).cast(LongType())
+
+
+def _interleave_bits_u32(v: np.ndarray) -> np.ndarray:
+    """Spread each of the low 21 bits of v so there is a 0 between them."""
+    v = v.astype(np.uint64) & np.uint64(0x1FFFFF)
+    v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return v
+
+
+@F.pandas_udf(LongType())
+def _morton_udf(gx: pd.Series, gy: pd.Series) -> pd.Series:
+    mx = _interleave_bits_u32(gx.to_numpy(dtype=np.int64))
+    my = _interleave_bits_u32(gy.to_numpy(dtype=np.int64))
+    key = (mx << np.uint64(1)) | my
+    return pd.Series(key.astype(np.int64))
+
+
+def morton_key(x: Column, y: Column, cell_size: float, x0: float = X0, y0: float = Y0) -> Column:
+    """Z-order key of the (x, y) centroid at the given resolution."""
+    gx = F.floor((x - F.lit(x0)) / F.lit(cell_size)).cast(LongType())
+    gy = F.floor((y - F.lit(y0)) / F.lit(cell_size)).cast(LongType())
+    return _morton_udf(gx, gy)
+
+
+def morton_parent(key: Column, levels: int = 1) -> Column:
+    """Parent Z-order cell: drop 2 bits per level (prefix property)."""
+    return F.shiftright(key, 2 * levels)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: bool mask of points inside one ring.
+
+    px, py: (N,) point coords; ring: (M, 2) closed-or-open exterior ring.
+    All N points tested against all M edges with numpy broadcasting.
+    """
+    rx, ry = ring[:, 0], ring[:, 1]
+    rx2, ry2 = np.roll(rx, -1), np.roll(ry, -1)
+    # edge straddles the horizontal line through py
+    y1 = ry[None, :]
+    y2 = ry2[None, :]
+    cond = (y1 <= py[:, None]) != (y2 <= py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = rx[None, :] + (py[:, None] - y1) / (y2 - y1) * (rx2 - rx)[None, :]
+    crossings = cond & (px[:, None] < xint)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def ring_bbox_cells(ring: np.ndarray, cell_size: float, x0: float = X0, y0: float = Y0):
+    """Grid-cell cover of a ring's bbox (driver-side, for broadcast prefilter)."""
+    gx0 = int(np.floor((ring[:, 0].min() - x0) / cell_size))
+    gx1 = int(np.floor((ring[:, 0].max() - x0) / cell_size))
+    gy0 = int(np.floor((ring[:, 1].min() - y0) / cell_size))
+    gy1 = int(np.floor((ring[:, 1].max() - y0) / cell_size))
+    return [
+        gx * (1 << 21) + gy
+        for gx in range(gx0, gx1 + 1)
+        for gy in range(gy0, gy1 + 1)
+    ]

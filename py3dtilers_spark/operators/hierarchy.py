@@ -1,0 +1,153 @@
+"""Bottom-up bounding-volume hierarchy + tileset manifest.
+
+Reference: FromGeometryTreeToTileset
+(/root/reference/py3dtilers/Common/tileset_creation.py:27-139) walks the
+GeometryTree depth-first on the driver, unioning child bounding volumes into
+parents (:117-119) and hard-coding root geometric error 500 (:39).
+
+Engine version: tile ids are kd-path bitstrings, so EVERY ancestor of a leaf
+is a prefix of its path. One ``explode(prefixes)`` + one hash aggregation
+computes the whole tree bottom-up — the treeAggregate-shaped roll-up of the
+north rule collapsed into a single shuffle (partial min/max/sum combine
+map-side, so shuffled bytes ~ #nodes, not #rows). No driver recursion.
+
+Geometric errors: leaves = 1.0; internal level L = 1 + 499 * 0.5^L, hence
+root (L=0) = 500.0 exactly, and GE strictly decreases root -> leaf along
+every path (the invariant the reference's tests pin: root 500, LOA 20 >
+LOD1 5 > leaf 1; see lod.py for the parity chain).
+"""
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LEAF_GE = 1.0
+
+
+def tile_stats(tiled: DataFrame) -> DataFrame:
+    """Per-leaf-tile bbox + count (reference A2/A3 aggregations)."""
+    return tiled.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+        F.min("z").alias("zmin"),
+        F.max("z").alias("zmax"),
+    )
+
+
+def tile_tree(tiled: DataFrame) -> DataFrame:
+    """Full tile tree (leaves + all ancestors) in ONE aggregation.
+
+    Input: rows with ``tile_id`` path + x/y/z. Output columns:
+    (tile_id, parent_id, level, is_leaf, geometric_error, n_features,
+    xmin..zmax). Root has tile_id '' and parent_id null.
+    """
+    leaves = tile_stats(tiled).withColumn("is_leaf", F.lit(True))
+
+    # every prefix of the path, including '' (root); '' for the leaf itself
+    # is excluded because the leaf row carries is_leaf=True already
+    ancestors = (
+        leaves.select(
+            F.explode(
+                F.concat(
+                    F.array(F.lit("")),
+                    # sequence(1, 0) would generate a DESCENDING [1, 0] in
+                    # Spark, so guard length-1 leaves explicitly
+                    F.expr(
+                        "CASE WHEN length(tile_id) <= 1 THEN array()"
+                        " ELSE transform(sequence(1, length(tile_id) - 1),"
+                        " i -> substring(tile_id, 1, i)) END"
+                    ),
+                )
+            ).alias("tile_id"),
+            "n_features",
+            "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+        )
+        .groupBy("tile_id")
+        .agg(
+            F.sum("n_features").alias("n_features"),
+            F.min("xmin").alias("xmin"),
+            F.max("xmax").alias("xmax"),
+            F.min("ymin").alias("ymin"),
+            F.max("ymax").alias("ymax"),
+            F.min("zmin").alias("zmin"),
+            F.max("zmax").alias("zmax"),
+        )
+        .withColumn("is_leaf", F.lit(False))
+    )
+
+    tree = leaves.unionByName(ancestors)
+    return (
+        tree.withColumn("level", F.length("tile_id"))
+        .withColumn(
+            "parent_id",
+            F.when(F.col("level") > 0, F.expr("substring(tile_id, 1, length(tile_id) - 1)")),
+        )
+        .withColumn(
+            "geometric_error",
+            F.when(F.col("is_leaf"), F.lit(LEAF_GE)).otherwise(
+                F.lit(1.0) + F.lit(499.0) * F.pow(F.lit(0.5), F.col("level"))
+            ),
+        )
+    )
+
+
+def manifest(tree_df: DataFrame) -> dict:
+    """Collect the (small) tile tree and emit a tileset.json-shaped dict
+    (reference: TileSet serialization, tileset_creation.py:27-55). The tree
+    has ~2 * n_leaves nodes — thousands, not billions — so driver collect is
+    the correct move, exactly like the reference's tileset.json write."""
+    rows = {r["tile_id"]: r.asDict() for r in tree_df.collect()}
+    children: dict[str, list[str]] = {}
+    for tid in rows:
+        if tid:
+            children.setdefault(tid[:-1], []).append(tid)
+
+    def node(tid: str) -> dict:
+        r = rows[tid]
+        return {
+            "boundingVolume": {
+                "box": [r["xmin"], r["ymin"], r["zmin"], r["xmax"], r["ymax"], r["zmax"]]
+            },
+            "geometricError": r["geometric_error"],
+            "refine": "ADD",
+            "tile_id": tid,
+            "n_features": r["n_features"],
+            "children": [node(c) for c in sorted(children.get(tid, []))],
+        }
+
+    return {
+        "asset": {"version": "1.0", "generator": "py3dtilers_spark"},
+        "geometricError": rows[""]["geometric_error"] if "" in rows else LEAF_GE,
+        "root": node("") if "" in rows else {},
+    }
+
+
+def check_nesting(tree_df: DataFrame) -> int:
+    """Count of child tiles whose bbox escapes the parent bbox (must be 0;
+    reference invariant tileset_creation.py:117-119). Distributed check —
+    a self-join on parent_id, no collect."""
+    c = tree_df.alias("c")
+    p = tree_df.alias("p")
+    bad = (
+        c.join(p, F.col("c.parent_id") == F.col("p.tile_id"))
+        .where(
+            (F.col("c.xmin") < F.col("p.xmin"))
+            | (F.col("c.xmax") > F.col("p.xmax"))
+            | (F.col("c.ymin") < F.col("p.ymin"))
+            | (F.col("c.ymax") > F.col("p.ymax"))
+            | (F.col("c.zmin") < F.col("p.zmin"))
+            | (F.col("c.zmax") > F.col("p.zmax"))
+            | (F.col("c.geometric_error") >= F.col("p.geometric_error"))
+        )
+    )
+    return bad.count()
+
+
+def write_manifest(tree_df: DataFrame, path: str) -> None:
+    with open(path, "w") as fh:
+        json.dump(manifest(tree_df), fh)

@@ -1,0 +1,191 @@
+"""Distributed kd-tree tile partitioning.
+
+Semantics follow the reference 2-D kd-tree
+(/root/reference/py3dtilers/Common/kd_tree.py:4-42):
+
+- alternate split axis x/y by depth
+- stable sort by centroid[axis]; split at ``len // 2`` (left gets floor)
+- ALWAYS split the root once; a split pair becomes two leaves iff BOTH
+  halves are <= kd_tree_max, else BOTH halves recurse
+- empty left halves (n == 1) vanish
+
+One deliberate deviation, required for a distributed table (where "input
+list order" does not exist): sort ties are broken by ``image_id`` instead of
+by prior list position. The pytest oracle (``kd_oracle``) implements the
+identical rule, and on tie-free data the assignment equals the reference's.
+
+Tile id = the left/right path bitstring ('0' = left); the reference's DFS
+tile numbering (tileset_creation.py:23,130) equals the lexicographic rank of
+the path, exposed via ``kd_leaf_index``.
+
+Scale notes: exact mode costs one hash-shuffle + in-partition sort per level
+(log2(N / kd_tree_max) levels; ~11 at 10^12 rows with max=500 it is 31 levels
+— each a single window over cells that halve in size every level, so total
+shuffled bytes per level stay constant ~= dataset size; AQE coalesces the
+tail). Scale mode (exact=False) replaces the per-row window with a
+percentile_approx median per cell + broadcast join: no in-partition sort and
+leaf sizes within the approximation error of the quantile sketch.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kd_assign(
+    df: DataFrame,
+    kd_tree_max: int = 500,
+    exact: bool = True,
+    id_col: str = "image_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    local_cap: int = 200_000,
+) -> DataFrame:
+    """Assign each row a kd-leaf ``tile_id`` path bitstring.
+
+    Exact mode is HYBRID: distributed exact-median window splits run only
+    until every live cell fits ``local_cap`` rows (executor-memory sized);
+    each such cell is then finished in a single applyInPandas task running
+    the identical recursion locally. Total distributed levels =
+    log2(N / local_cap) (e.g. ~22 for 10^12 rows at cap 200k) instead of
+    log2(N / kd_tree_max); the local phase is embarrassingly parallel.
+    """
+    if exact:
+        return _kd_exact(df, kd_tree_max, id_col, x_col, y_col, local_cap)
+    return _kd_approx(df, kd_tree_max, x_col, y_col)
+
+
+def _kd_exact(df, kd_tree_max, id_col, x_col, y_col, local_cap):
+    local_cap = max(local_cap, 2 * kd_tree_max + 1)
+    cur = df.withColumn("tile_id", F.lit(""))
+    out_schema = cur.schema
+    cols = [f.name for f in out_schema.fields]
+    done_parts: list[DataFrame] = []
+    depth = 0
+    while True:
+        mx_row = (
+            cur.groupBy("tile_id").agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("mx")).collect()
+        )
+        mx = mx_row[0]["mx"] if mx_row else None
+        if mx is None or mx <= local_cap:
+            break
+        axis = x_col if depth % 2 == 0 else y_col
+        w_order = Window.partitionBy("tile_id").orderBy(
+            F.col(axis).asc(), F.col(id_col).asc()
+        )
+        w_cell = Window.partitionBy("tile_id")
+        stepped = (
+            cur.withColumn("_rn", F.row_number().over(w_order))
+            .withColumn("_n", F.count(F.lit(1)).over(w_cell))
+            .withColumn("_m", F.floor(F.col("_n") / 2))
+            .withColumn(
+                "tile_id",
+                F.concat(
+                    F.col("tile_id"),
+                    F.when(F.col("_rn") <= F.col("_m"), F.lit("0")).otherwise(F.lit("1")),
+                ),
+            )
+            # right half size ceil(n/2) >= left; leaf iff it fits
+            .withColumn("_leaf", (F.col("_n") - F.col("_m")) <= F.lit(kd_tree_max))
+            .drop("_rn", "_n", "_m")
+        )
+        stepped = stepped.localCheckpoint(eager=True)  # truncate iterative lineage
+        done_parts.append(stepped.where("_leaf").drop("_leaf"))
+        cur = stepped.where("NOT _leaf").drop("_leaf")
+        depth += 1
+
+    def finish_cell(pdf):
+        path = pdf["tile_id"].iloc[0]
+        pts = list(zip(pdf[id_col], pdf[x_col], pdf[y_col]))
+        assign = kd_oracle(pts, kd_tree_max, path=path)
+        out = pdf.copy()
+        out["tile_id"] = out[id_col].map(assign)
+        return out[cols]
+
+    finished = cur.groupBy("tile_id").applyInPandas(finish_cell, schema=out_schema)
+    out = finished
+    for p in done_parts:
+        out = out.unionByName(p)
+    return out
+
+
+def _kd_approx(df, kd_tree_max, x_col, y_col):
+    """Scale path: quantile-sketch medians, no per-row window sort.
+
+    Leaf rule is the natural distributed one (cell done when its own count
+    <= kd_tree_max); sizes are approximate within sketch accuracy.
+    """
+    cur = df.withColumn("tile_id", F.lit(""))
+    done_parts: list[DataFrame] = []
+    depth = 0
+    while True:
+        axis = x_col if depth % 2 == 0 else y_col
+        meds = (
+            cur.groupBy("tile_id")
+            .agg(
+                F.expr(f"percentile_approx({axis}, 0.5, 2000)").alias("_med"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        stepped = (
+            cur.join(F.broadcast(meds), "tile_id")
+            .withColumn(
+                "tile_id",
+                F.concat(
+                    F.col("tile_id"),
+                    F.when(F.col(axis) < F.col("_med"), F.lit("0")).otherwise(F.lit("1")),
+                ),
+            )
+            .withColumn("_leaf", F.col("_n") <= F.lit(2 * kd_tree_max))
+            .drop("_med", "_n")
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        done_parts.append(stepped.where("_leaf").drop("_leaf"))
+        cur = stepped.where("NOT _leaf").drop("_leaf")
+        depth += 1
+        if cur.isEmpty():
+            break
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def kd_leaf_index(tiles: DataFrame) -> DataFrame:
+    """Dense 0-based tile index in DFS order = lex order of path bitstrings
+    (reproduces FromGeometryTreeToTileset.tile_index,
+    /root/reference/py3dtilers/Common/tileset_creation.py:23,130)."""
+    w = Window.orderBy("tile_id")
+    idx = (
+        tiles.select("tile_id").distinct()
+        .withColumn("tile_index", F.dense_rank().over(w) - 1)
+    )
+    return tiles.join(F.broadcast(idx), "tile_id")
+
+
+def kd_oracle(points, kd_tree_max, path=""):
+    """Pure-Python oracle with the engine's exact semantics (mirrors the
+    reference algorithm at kd_tree.py:4-42 with the documented id tie-break).
+    Doubles as the local finisher of the hybrid kd split (depth resumes from
+    len(path), preserving axis alternation).
+
+    points: iterable of (id, x, y). Returns {id: tile_id_path}.
+    """
+    out = {}
+    stack = [(path, list(points), len(path))]
+    while stack:
+        path, pts, depth = stack.pop()
+        axis = 1 + depth % 2
+        pts = sorted(pts, key=lambda p: (p[axis], p[0]))
+        m = len(pts) // 2
+        left, right = pts[:m], pts[m:]
+        if len(right) > kd_tree_max:  # len(right) >= len(left) always
+            stack.append((path + "0", left, depth + 1))
+            stack.append((path + "1", right, depth + 1))
+        else:
+            for p in left:
+                out[p[0]] = path + "0"
+            for p in right:
+                out[p[0]] = path + "1"
+    return out

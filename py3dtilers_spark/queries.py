@@ -1,0 +1,649 @@
+"""Query registry: every implemented operator exposed as a (spark_fn,
+oracle_sql) pair for the driver's correctness gate.
+
+Design rules for oracle parity (Spark result must hash-equal DuckDB):
+- no floating-point AGGREGATION in outputs (sum order is nondeterministic in
+  both engines); money/value sums go through integer cents, centroid means go
+  through exact integer sums of the underlying hash digits
+- per-row float EXPRESSIONS are fine (IEEE ops are deterministic and the two
+  engines agree bit-for-bit — verified in tools/parity_probe.py)
+- timestamps surface as epoch seconds (bigint)
+- every computed column aliased identically on both sides
+- deterministic ORDER-insensitive outputs: ranking ties always broken by a
+  unique id column
+
+Reference operators covered here are cited by SURVEY.md section 2 ids
+(F*, P*, J*, A*, O*, U*); training-data ops (dedup / ANN / text) are the
+engine's additive surface.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .data.features import (
+    FEATURES_CTE,
+    features_df,
+    load_table,
+    oracle_prelude,
+    polygons_df,
+)
+from .operators.kd_tree import kd_assign
+from .operators.pip_join import pip_assign_rect
+
+# ---------------------------------------------------------------------------
+# helpers
+
+# exact integer centroid: x = X0 + (sum(hx)/n)/10 with hx = (h2*48271)%100000
+_HX = "(h2 * 48271) % 100000"
+_HY = "(h2 * 69621) % 100000"
+_HZ = "(h2 * 16807) % 1000"
+
+
+def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return features_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# F1/F3 filters (tiler.py:242-245; geojson.py:98-102)
+
+def q_filter_keep_ids(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    # driver-side id list -> isin, the reference's keep_ids shape
+    ids = [r["image_id"] for r in feats.where("l_orderkey % 500 = 0").select("image_id").collect()]
+    return (
+        feats.where(F.col("image_id").isin(ids))
+        .select("image_id", "fmt", "w", "h")
+    )
+
+
+ORACLE_KEEP_IDS = oracle_prelude() + """
+SELECT image_id, fmt, w, h FROM features WHERE l_orderkey % 500 = 0
+"""
+
+
+def q_filter_prec(spark, sf_dir):
+    return (
+        _feats(spark, sf_dir)
+        .where(F.col("prec_alti") < 9999)
+        .groupBy("fmt")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("w").alias("min_w"), F.max("h").alias("max_h"))
+    )
+
+
+ORACLE_PREC = oracle_prelude() + """
+SELECT fmt, count(*) AS n, min(w) AS min_w, max(h) AS max_h
+FROM features WHERE prec_alti < 9999 GROUP BY fmt
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1/P3/P4 projections (feature.py:282-342): translate + z-scale + scale
+# about the global centroid. Centroid derived from exact integer sums.
+
+def q_transform(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    cent = feats.agg(
+        F.expr(f"1843000.0 + CAST(SUM({_HX}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0").alias("cx"),
+        F.expr(f"5173000.0 + CAST(SUM({_HY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0").alias("cy"),
+    )
+    return (
+        feats.crossJoin(F.broadcast(cent))
+        .where("l_orderkey % 100 = 0")
+        .selectExpr(
+            "image_id",
+            "x + 100.0 AS tx",                     # P1 translate
+            "z * 2.5 AS sz",                       # P3 height multiplier
+            "(x - cx) * 2.0 + cx AS scaled_x",     # P4 scale about centroid
+            "(y - cy) * 2.0 + cy AS scaled_y",
+        )
+    )
+
+
+ORACLE_TRANSFORM = oracle_prelude() + f"""
+SELECT image_id,
+       x + 100.0 AS tx,
+       z * 2.5 AS sz,
+       (x - cx) * 2.0 + cx AS scaled_x,
+       (y - cy) * 2.0 + cy AS scaled_y
+FROM features CROSS JOIN (
+  SELECT 1843000.0 + CAST(SUM({_HX}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0 AS cx,
+         5173000.0 + CAST(SUM({_HY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0 AS cy
+  FROM features) c
+WHERE l_orderkey % 100 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2 global bbox (feature.py:101-111)
+
+def q_bbox(spark, sf_dir):
+    return _feats(spark, sf_dir).agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+        F.min("z").alias("zmin"), F.max("z").alias("zmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_BBOX = oracle_prelude() + """
+SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax,
+       min(z) AS zmin, max(z) AS zmax, count(*) AS n
+FROM features
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4 cube group-by (group.py:201-224), per-feature variant: rint = half-even
+# = Python round() = DuckDB round_even.
+
+def q_cube_groupby(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    return (
+        feats.withColumn("cube_x", F.expr("rint(x / 1000.0) * 1000.0"))
+        .withColumn("cube_y", F.expr("rint(y / 1000.0) * 1000.0"))
+        .groupBy("cube_x", "cube_y")
+        .agg(F.count(F.lit(1)).alias("n_features"))
+    )
+
+
+ORACLE_CUBE = oracle_prelude() + """
+SELECT round_even(x / 1000.0, 0) * 1000.0 AS cube_x,
+       round_even(y / 1000.0, 0) * 1000.0 AS cube_y,
+       count(*) AS n_features
+FROM features GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 attribute min/max + distinct values (geojson.py:117-126)
+
+def q_attr_minmax(spark, sf_dir):
+    return _feats(spark, sf_dir).agg(
+        F.min("prec_alti").alias("min_prec"),
+        F.max("prec_alti").alias("max_prec"),
+        F.countDistinct("fmt").alias("n_fmt"),
+        F.countDistinct("w").alias("n_w"),
+    )
+
+
+ORACLE_ATTR = oracle_prelude() + """
+SELECT min(prec_alti) AS min_prec, max(prec_alti) AS max_prec,
+       count(DISTINCT fmt) AS n_fmt, count(DISTINCT w) AS n_w
+FROM features
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 point-in-polygon first-match join (group.py:161-199)
+
+def q_pip_first_match(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    return pip_assign_rect(feats, polygons_df(spark))
+
+
+ORACLE_PIP = oracle_prelude() + """
+SELECT f.image_id, min(p.polygon_id) AS polygon_id
+FROM features f
+LEFT JOIN polygons p
+  ON f.x >= p.xmin AND f.x < p.xmax AND f.y >= p.ymin AND f.y < p.ymax
+GROUP BY f.image_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# U3 anti join: features in no polygon (lod_feature_list.py:44-53)
+
+def q_anti_unmatched(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    assign = pip_assign_rect(feats, polygons_df(spark))
+    return assign.where(F.col("polygon_id").isNull()).select("image_id")
+
+
+ORACLE_ANTI = oracle_prelude() + """
+SELECT f.image_id
+FROM features f
+WHERE NOT EXISTS (
+  SELECT 1 FROM polygons p
+  WHERE f.x >= p.xmin AND f.x < p.xmax AND f.y >= p.ymin AND f.y < p.ymax)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full reference grouping pipeline: polygon groups + singletons -> cube merge
+# of GROUP centroids (group.py:161-224). Exact integer centroid sums.
+
+def q_groups_cube(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    assign = pip_assign_rect(feats, polygons_df(spark))
+    fg = feats.join(assign, "image_id").withColumn(
+        "group_key",
+        F.when(
+            F.col("polygon_id").isNotNull(),
+            F.concat(F.lit("poly_"), F.col("polygon_id").cast("string")),
+        ).otherwise(F.concat(F.lit("solo_"), F.col("image_id"))),
+    )
+    cent = fg.groupBy("group_key").agg(
+        F.expr(f"1843000.0 + CAST(SUM({_HX}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0").alias("cx"),
+        F.expr(f"5173000.0 + CAST(SUM({_HY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0").alias("cy"),
+        F.count(F.lit(1)).alias("nf"),
+    )
+    return (
+        cent.withColumn("cube_x", F.expr("rint(cx / 1000.0) * 1000.0"))
+        .withColumn("cube_y", F.expr("rint(cy / 1000.0) * 1000.0"))
+        .groupBy("cube_x", "cube_y")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("nf").alias("n_features"))
+    )
+
+
+ORACLE_GROUPS_CUBE = oracle_prelude() + f"""
+, assign AS (
+  SELECT f.image_id, f.h2, min(p.polygon_id) AS polygon_id
+  FROM features f
+  LEFT JOIN polygons p
+    ON f.x >= p.xmin AND f.x < p.xmax AND f.y >= p.ymin AND f.y < p.ymax
+  GROUP BY f.image_id, f.h2
+), grouped AS (
+  SELECT CASE WHEN polygon_id IS NOT NULL THEN 'poly_' || CAST(polygon_id AS STRING)
+              ELSE 'solo_' || image_id END AS group_key,
+         1843000.0 + CAST(SUM({_HX}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0 AS cx,
+         5173000.0 + CAST(SUM({_HY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0 AS cy,
+         count(*) AS nf
+  FROM assign GROUP BY 1
+)
+SELECT round_even(cx / 1000.0, 0) * 1000.0 AS cube_x,
+       round_even(cy / 1000.0, 0) * 1000.0 AS cube_y,
+       count(*) AS n_groups, CAST(sum(nf) AS BIGINT) AS n_features
+FROM grouped GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 relational equi-joins (citym_building.py SQL shapes): star join + agg,
+# money through integer cents (exact under any summation order).
+
+def q_star_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_STAR = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# U5 dedup + dense re-index (obj_writer.py:31-56): distinct (w, h) with
+# deterministic dense ids via row_number over the sorted distinct set.
+
+def q_dedup_dense_index(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    w = Window.orderBy("w", "h")
+    return (
+        feats.select("w", "h").distinct()
+        .withColumn("dense_id", F.row_number().over(w) - 1)
+    )
+
+
+ORACLE_DEDUP_DENSE = oracle_prelude() + """
+SELECT w, h, CAST(row_number() OVER (ORDER BY w, h) AS INT) - 1 AS dense_id
+FROM (SELECT DISTINCT w, h FROM features) d
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (engine addition; reference has no ranking — SURVEY 2.5)
+
+def q_topk_per_fmt(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    w = Window.partitionBy("fmt").orderBy(F.col("phash").desc(), F.col("image_id"))
+    return (
+        feats.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 5")
+        .select("fmt", "rk", "image_id", "phash")
+    )
+
+
+ORACLE_TOPK = oracle_prelude() + """
+SELECT fmt, CAST(row_number() OVER (PARTITION BY fmt ORDER BY phash DESC, image_id) AS INT) AS rk,
+       image_id, phash
+FROM features
+QUALIFY rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 kd-tree tile assignment — iterative median splits; not expressible in
+# one SQL query (driver records rows-only; exact parity is pinned by
+# tests/test_kd_tree.py against the Python oracle).
+
+def q_kd_tiles(spark, sf_dir):
+    feats = _feats(spark, sf_dir).select("image_id", "x", "y")
+    return kd_assign(feats, kd_tree_max=500).select("image_id", "tile_id")
+
+
+# kNN grouping (north rule): block-local kNN via 3x3 neighbor-cell equi-join.
+# Query set = h2 % 601 = 0; k = 5 nearest by squared distance, ties by id.
+
+_KNN_CELL = 500.0
+
+
+def q_knn(spark, sf_dir):
+    feats = _feats(spark, sf_dir).selectExpr(
+        "image_id", "x", "y",
+        f"CAST(floor((x - 1843000.0) / {_KNN_CELL}) AS BIGINT) AS gx",
+        f"CAST(floor((y - 5173000.0) / {_KNN_CELL}) AS BIGINT) AS gy",
+        "h2",
+    )
+    queries = feats.where("h2 % 601 = 0").selectExpr(
+        "image_id AS q_id", "x AS qx", "y AS qy", "gx AS qgx", "gy AS qgy"
+    )
+    # explode the 3x3 neighborhood on the (small) query side -> equi join
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    probes = queries.crossJoin(F.broadcast(offsets)).selectExpr(
+        "q_id", "qx", "qy", "qgx + dx AS gx", "qgy + dy AS gy"
+    )
+    cand = probes.join(feats.drop("h2"), ["gx", "gy"]).where("image_id <> q_id")
+    scored = cand.withColumn(
+        "dist2", (F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2
+    )
+    w = Window.partitionBy("q_id").orderBy("dist2", "image_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 5")
+        .select("q_id", "rk", F.col("image_id").alias("neighbor_id"), "dist2")
+    )
+
+
+ORACLE_KNN = oracle_prelude() + f"""
+, g AS (
+  SELECT image_id, x, y, h2,
+         CAST(floor((x - 1843000.0) / {_KNN_CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - 5173000.0) / {_KNN_CELL}) AS BIGINT) AS gy
+  FROM features
+), q AS (SELECT image_id AS q_id, x AS qx, y AS qy, gx AS qgx, gy AS qgy FROM g WHERE h2 % 601 = 0)
+SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY (x-qx)*(x-qx)+(y-qy)*(y-qy), image_id) AS INT) AS rk,
+       image_id AS neighbor_id,
+       (x-qx)*(x-qx)+(y-qy)*(y-qy) AS dist2
+FROM q JOIN g ON g.gx BETWEEN q.qgx - 1 AND q.qgx + 1
+             AND g.gy BETWEEN q.qgy - 1 AND q.qgy + 1
+             AND g.image_id <> q.q_id
+QUALIFY rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: documents table
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs: explode word 3-gram sets, equi-join on
+    shingle, |A intersect B| / |A union B| >= 0.5. Shuffle key = shingle (the
+    classic inverted-index join — no cross join anywhere)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(CASE WHEN size(ws) < 3 THEN array(concat_ws(' ', ws)) "
+                "ELSE transform(sequence(1, size(ws) - 2), "
+                "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])) END)"
+            )
+        ).alias("sh"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a")
+    sb = sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jac", F.expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"))
+        .where("jac >= 0.5")
+        .select("doc_a", "doc_b", "inter", "jac")
+    )
+
+
+ORACLE_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS sh
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+"""
+
+
+# language-ID by stopword-marker counting (pure string arithmetic both sides)
+_LANG_MARKERS = [
+    ("en", " the "), ("fr", " le "), ("es", " el "), ("de", " der "), ("zh", " de "),
+]
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    padded = docs.withColumn("t", F.concat(F.lit(" "), F.lower("text"), F.lit(" ")))
+    for lang, marker in _LANG_MARKERS:
+        padded = padded.withColumn(
+            f"n_{lang}",
+            (F.length("t") - F.length(F.replace(F.col("t"), F.lit(marker)))) / len(marker),
+        )
+    score_cols = ", ".join(
+        f"named_struct('n', n_{lang}, 'lang', '{lang}')" for lang, _ in _LANG_MARKERS
+    )
+    return padded.selectExpr(
+        "doc_id",
+        "lang AS actual_lang",
+        f"array_max(array({score_cols})).lang AS predicted_lang",
+    )
+
+
+def _lang_oracle() -> str:
+    cols = []
+    for lang, marker in _LANG_MARKERS:
+        cols.append(
+            f"(length(t) - length(replace(t, '{marker}', ''))) / {len(marker)} AS n_{lang}"
+        )
+    # DuckDB lacks Spark's array_max-of-structs ordering; emulate with
+    # greatest + CASE chain in the SAME priority order as Spark's struct
+    # comparison (max by n, ties -> later lang in list order wins ONLY via
+    # struct comparison on the lang string; avoid ties by strict CASE).
+    # Spark's array_max on structs breaks score ties by the LANG string
+    # (second struct field), so the CASE must test langs in descending
+    # lang-string order for identical tie behavior.
+    best = "greatest(n_en, n_fr, n_es, n_de, n_zh)"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN n_{lang} = {best} THEN '{lang}'"
+            for lang, _ in sorted(_LANG_MARKERS, key=lambda kv: kv[0], reverse=True)
+        )
+        + " END"
+    )
+    return f"""
+WITH padded AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+), scored AS (
+  SELECT doc_id, lang, {', '.join(cols)} FROM padded
+)
+SELECT doc_id, lang AS actual_lang, {case} AS predicted_lang FROM scored
+"""
+
+
+def q_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "CAST(size(split(trim(text), ' +')) AS BIGINT) AS n_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars_computed",
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS space_ratio",
+    )
+
+
+ORACLE_QUALITY = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), ' +')) AS n_tokens,
+       length(text) AS n_chars_computed,
+       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS space_ratio
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "md5(lower(trim(text))) AS fingerprint",
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k over embeddings (baseline path). Per-array
+# fold is sequential in both engines -> bit-identical doubles.
+
+def q_ann_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, v -> CAST(v AS DOUBLE)) AS e",
+    ).selectExpr(
+        "vec_id", "e",
+        "sqrt(aggregate(e, 0.0D, (acc, v) -> acc + v * v)) AS nrm",
+    )
+    q = base.where("vec_id % 100 = 0").selectExpr("vec_id AS q_id", "e AS qe", "nrm AS qn")
+    scored = base.crossJoin(F.broadcast(q)).where("vec_id <> q_id").selectExpr(
+        "q_id", "vec_id",
+        "aggregate(zip_with(e, qe, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v) / (nrm * qn) AS cos_sim",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 5")
+        .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+ORACLE_ANN = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM base WHERE vec_id % 100 = 0)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY list_dot_product(e, qe) / (nrm * qn) DESC, vec_id) AS INT) AS rk,
+       vec_id AS neighbor_id
+FROM base JOIN q ON vec_id <> q_id
+QUALIFY rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregation (batch form of the streaming op);
+# value sums via integer 1e-4 units.
+
+def q_events_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.expr("CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 10000.0) AS BIGINT)")).alias("value_e4"),
+        )
+    )
+
+
+ORACLE_EVENTS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, tuple] = {
+    # (spark_fn, oracle_sql | None)
+    "filter_keep_ids": (q_filter_keep_ids, ORACLE_KEEP_IDS),
+    "filter_prec": (q_filter_prec, ORACLE_PREC),
+    "transform_scale": (q_transform, ORACLE_TRANSFORM),
+    "bbox_global": (q_bbox, ORACLE_BBOX),
+    "cube_groupby": (q_cube_groupby, ORACLE_CUBE),
+    "attr_minmax": (q_attr_minmax, ORACLE_ATTR),
+    "pip_first_match": (q_pip_first_match, ORACLE_PIP),
+    "anti_unmatched": (q_anti_unmatched, ORACLE_ANTI),
+    "groups_cube": (q_groups_cube, ORACLE_GROUPS_CUBE),
+    "star_join_agg": (q_star_join, ORACLE_STAR),
+    "dedup_dense_index": (q_dedup_dense_index, ORACLE_DEDUP_DENSE),
+    "topk_per_fmt": (q_topk_per_fmt, ORACLE_TOPK),
+    "kd_tiles": (q_kd_tiles, None),  # iterative; parity via tests/test_kd_tree.py
+    "knn_block": (q_knn, ORACLE_KNN),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, ORACLE_JACCARD),
+    "lang_id": (q_lang_id, _lang_oracle()),
+    "quality_score": (q_quality, ORACLE_QUALITY),
+    "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "ann_cosine_topk": (q_ann_cosine, ORACLE_ANN),
+    "events_window": (q_events_window, ORACLE_EVENTS),
+}
