@@ -124,6 +124,27 @@ def features_df(spark: SparkSession, sf_dir: str, with_bytes: bool = False) -> D
     return df
 
 
+def features_amplified(spark: SparkSession, sf_dir: str, copies: int) -> DataFrame:
+    """Scale-out input for throughput/scaling benchmarks: `copies` spatially
+    offset, id/phash-salted replicas of the features table (one scan + a
+    broadcast cross join — no union chain, no extra files). Each copy lands
+    in its own 10 km tile of a grid, so the kd tree deepens naturally as if
+    the survey area grew."""
+    feats = features_df(spark, sf_dir)
+    reps = spark.range(copies).selectExpr("CAST(id AS BIGINT) AS copy_i")
+    return (
+        feats.crossJoin(F.broadcast(reps))
+        .selectExpr(
+            "'c' || CAST(copy_i AS STRING) || '_' || image_id AS image_id",
+            "w", "h", "fmt", "caption",
+            "(phash + copy_i * 1000000007) % 4611686018427387903 AS phash",
+            "x + CAST(copy_i % 4 AS DOUBLE) * 10000.0 AS x",
+            "y + CAST(CAST((copy_i - copy_i % 4) AS DOUBLE) / 4.0 AS DOUBLE) * 10000.0 AS y",
+            "z", "prec_alti", "l_orderkey", "l_partkey", "h2",
+        )
+    )
+
+
 def polygons_df(spark: SparkSession) -> DataFrame:
     """Overlay polygons as a small dimension table (broadcast side of J1)."""
     return (

@@ -11,7 +11,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.imaging import encode, synth_pixels
+from ..functions.imaging import synth_encode_batch
 
 
 def attach_bytes(df: DataFrame) -> DataFrame:
@@ -21,12 +21,13 @@ def attach_bytes(df: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [
-                encode(synth_pixels(int(p), int(w), int(h)), f)
-                for p, w, h, f in zip(pdf["phash"], pdf["w"], pdf["h"], pdf["fmt"])
-            ]
             pdf = pdf.copy()
-            pdf["bytes"] = blobs
+            pdf["bytes"] = synth_encode_batch(
+                pdf["phash"].to_numpy(),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+                pdf["fmt"].to_numpy(),
+            )
             yield pdf
 
     return df.mapInPandas(gen, schema=out_schema)

@@ -18,12 +18,32 @@ mapInPandas / applyInPandas batches — never from row-at-a-time UDFs.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
-MAGIC_RAW = b"RAW1"
-MAGIC_QNT = b"QNT1"
+MAGIC_RAW = b"RAWZ"
+MAGIC_QNT = b"QNTZ"
 _QSTEP = 4  # quantization step for lossy mode
+_ZLEVEL = 1  # entropy-coding layer (deterministic, lossless)
+
+# Per-worker reusable scratch buffers. Fresh numpy allocations fault in new
+# pages on every call; on virtualized hosts (ballooned memory) first-touch
+# is ~100x slower than reuse, and the codec is called millions of times per
+# worker. Buffers grow to the high-water mark and are reused thereafter.
+_SCRATCH: dict[tuple[str, str], np.ndarray] = {}
+
+
+def _scratch(name: str, shape: tuple[int, ...], dtype) -> np.ndarray:
+    key = (name, np.dtype(dtype).str)
+    n = 1
+    for s in shape:
+        n *= int(s)
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < n:
+        buf = np.empty(max(n, 1 << 20), dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf[:n].reshape(shape)
 
 
 def synth_pixels(phash: int, w: int, h: int) -> np.ndarray:
@@ -37,20 +57,79 @@ def synth_pixels(phash: int, w: int, h: int) -> np.ndarray:
     return img.astype(np.uint8)
 
 
+_MAX_WH = 64
+# (64, 64) gradient template shared by every image. uint8: every synth op is
+# mod-256, which IS uint8 wraparound — single-byte arithmetic end to end
+# (half the memory traffic of a widened dtype, and on ballooned-memory VMs
+# fresh pages are the dominant cost).
+_TPL = (
+    (np.arange(_MAX_WH, dtype=np.int32)[:, None] * 7
+     + np.arange(_MAX_WH, dtype=np.int32)[None, :] * 13) % 256
+).astype(np.uint8)
+_SYNTH_CHUNK = 512
+
+
+def synth_encode_batch(
+    phash: np.ndarray, w: np.ndarray, h: np.ndarray, fmt: np.ndarray
+) -> list[bytes]:
+    """Vectorized batch synth+encode: ONE broadcast op builds every image of
+    the batch padded to 64x64 (template + per-image channel offsets, all
+    int16), then each row slices its (h, w) window out. ~20x faster than
+    per-image synth_pixels+encode; bit-identical output (asserted in tests).
+    """
+    n = len(phash)
+    out: list[bytes | None] = [None] * n
+    ph = np.asarray(phash, dtype=np.int64)
+    is_png = np.asarray(fmt) == "png"
+    # channel constants c0 = p%251, c1 = c0+p%83, c2 = c0+p%131 — uint8
+    # wraparound is exactly the mod-256 the formula wants
+    c0 = (ph % 251).astype(np.uint8)
+    consts = np.stack(
+        [c0, c0 + (ph % 83).astype(np.uint8), c0 + (ph % 131).astype(np.uint8)],
+        axis=1,
+    )
+    for lo in range(0, n, _SYNTH_CHUNK):
+        hi = min(lo + _SYNTH_CHUNK, n)
+        k = hi - lo
+        # (k, 64, 64, 3) = template + per-image/channel constant (uint8 add
+        # wraps mod 256); all intermediates in reused per-worker scratch
+        shape = (k, _MAX_WH, _MAX_WH, 3)
+        u8 = _scratch("synth_u8", shape, np.uint8)
+        np.add(_TPL[None, :, :, None], consts[lo:hi, None, None, :], out=u8)
+        # (p + 2) // 4 == (p >> 2) + ((p & 3) >= 2), overflow-free
+        q8 = _scratch("synth_q8", shape, np.uint8)
+        np.right_shift(u8, 2, out=q8)
+        r8 = _scratch("synth_r8", shape, np.uint8)
+        np.bitwise_and(u8, 3, out=r8)
+        q8 += r8 >= 2
+        for i in range(lo, hi):
+            ww, hh = int(w[i]), int(h[i])
+            header = struct.pack("<HH", ww, hh)
+            src = u8 if is_png[i] else q8
+            body = zlib.compress(src[i - lo, :hh, :ww, :].tobytes(), _ZLEVEL)
+            out[i] = (MAGIC_RAW if is_png[i] else MAGIC_QNT) + header + body
+    return out  # type: ignore[return-value]
+
+
 def encode(img: np.ndarray, fmt: str) -> bytes:
     """Encode an (h, w, 3) uint8 array. fmt: 'png' (lossless) or 'jpg' (lossy)."""
     h, w = img.shape[0], img.shape[1]
     header = struct.pack("<HH", w, h)
     if fmt == "png":
-        return MAGIC_RAW + header + img.tobytes()
-    q = ((img.astype(np.uint16) + _QSTEP // 2) // _QSTEP).astype(np.uint8)
-    return MAGIC_QNT + header + q.tobytes()
+        return MAGIC_RAW + header + zlib.compress(img.tobytes(), _ZLEVEL)
+    # (p + 2) // 4 == (p >> 2) + ((p & 3) >= 2): overflow-free in uint8
+    q8 = _scratch("enc8", img.shape, np.uint8)
+    np.right_shift(img, 2, out=q8)
+    r = _scratch("encr", img.shape, np.uint8)
+    np.bitwise_and(img, 3, out=r)
+    q8 += r >= 2
+    return MAGIC_QNT + header + zlib.compress(q8.tobytes(), _ZLEVEL)
 
 
 def decode(blob: bytes) -> np.ndarray:
     """Decode a RAW1/QNT1 blob to (h, w, 3) uint8."""
     magic, (w, h) = blob[:4], struct.unpack("<HH", blob[4:8])
-    body = np.frombuffer(blob, dtype=np.uint8, offset=8).reshape(h, w, 3)
+    body = np.frombuffer(zlib.decompress(blob[8:]), dtype=np.uint8).reshape(h, w, 3)
     if magic == MAGIC_RAW:
         return body.copy()
     if magic == MAGIC_QNT:

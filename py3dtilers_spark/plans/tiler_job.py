@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data.features import features_df
-from ..functions.imaging import decode, encode, shelf_pack
+from ..functions.imaging import _scratch, decode, encode, shelf_pack
 from ..operators.hierarchy import tile_tree, write_manifest
 from ..operators.kd_tree import kd_assign
 
@@ -54,7 +54,9 @@ def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     sizes = [(im.shape[1], im.shape[0]) for im in imgs]
     atlas_w = 1024
     pos, atlas_h = shelf_pack(sizes, atlas_w)
-    atlas = np.zeros((atlas_h, atlas_w, 3), dtype=np.uint8)
+    # reused per-worker buffer: avoids faulting fresh pages per tile
+    atlas = _scratch("atlas", (atlas_h, atlas_w, 3), np.uint8)
+    atlas.fill(0)
     for (px, py), im in zip(pos, imgs):
         atlas[py : py + im.shape[0], px : px + im.shape[1]] = im
     fmt = "png" if (pdf["fmt"] == "png").all() else "jpg"
@@ -94,34 +96,67 @@ def run_tiler(
     run_id: str = "run0",
     resume: bool = False,
     fail_after_tiles: int | None = None,
+    features: "DataFrame | None" = None,
 ) -> dict:
-    """Execute the pipeline; returns summary metrics.
+    """Execute the pipeline; returns summary metrics (incl. per-phase secs).
 
     fail_after_tiles: test hook — encode only the first K tiles (by path
     order) then 'crash', leaving a partial lineage for resume tests.
     """
-    feats = features_df(spark, sf_dir, with_bytes=with_payload)
-    # kd runs on the slim (id, x, y, z) projection so heavy payload bytes
-    # are shuffled exactly ONCE (the assignment join below), not once per kd
-    # level — at 100 TB the payload dominates, so this is the difference
-    # between 1x and depth-x payload shuffle volume.
+    import time
+
+    timings: dict[str, float] = {}
+    _t = time.time
+    # kd + hierarchy run on the byte-free projection: mapInPandas (the
+    # payload generator/decoder) is a column-pruning barrier, so any plan
+    # that "selects a few columns" downstream of it would still materialize
+    # every payload byte. Payload bytes are produced exactly once, on the
+    # encode branch, and shuffled exactly once (the assignment join) — at
+    # 100 TB payload bytes dominate, so this is the difference between 1x
+    # and depth-x payload generation + shuffle volume.
+    t0 = _t()
+    src = features if features is not None else features_df(spark, sf_dir, with_bytes=False)
+    base = src.select(
+        "image_id", "x", "y", "z", "w", "h", "fmt", "caption", "phash"
+    ).persist()  # consumed by both the kd branch and the payload branch
     slim = kd_assign(
-        feats.select("image_id", "x", "y", "z"),
+        base.select("image_id", "x", "y", "z"),
         kd_tree_max=kd_tree_max,
         exact=exact,
     )
-    tiled = (
-        feats.join(slim.select("image_id", "tile_id"), "image_id")
-        if with_payload
-        else slim
-    )
+    # consumed twice (hierarchy + assignment join); it is tiny (id + coords)
+    slim = slim.localCheckpoint(eager=True)
+    timings["kd"] = _t() - t0
+    if with_payload:
+        from ..data.synth_images import attach_bytes
+
+        # project to the minimal column set BEFORE the Arrow UDF boundary —
+        # mapInPandas blocks column pruning, so the projection must be
+        # upstream of it. Explicit repartition: AQE coalesces the (tiny)
+        # columnar input to a handful of partitions, which would serialize
+        # the payload UDF whose OUTPUT is ~100x bigger — size the stage for
+        # its output, not its input.
+        n_parts = spark.sparkContext.defaultParallelism * 2
+        feats = attach_bytes(
+            base.select("image_id", "w", "h", "fmt", "caption", "phash")
+            .repartition(n_parts, "image_id")
+        )
+        tiled = feats.select("image_id", "fmt", "caption", "bytes").join(
+            slim.select("image_id", "tile_id"), "image_id"
+        )
+    else:
+        tiled = slim
 
     tiles_dir = os.path.join(out_dir, "tiles")
     lineage_dir = os.path.join(out_dir, "lineage")
 
-    tree = tile_tree(tiled.select("tile_id", "x", "y", "z"))
+    # the tree is tiny (~2x leaf count rows) and consumed three times
+    # (leaf count, root stats, manifest collect) — materialize it once
+    t0 = _t()
+    tree = tile_tree(slim.select("tile_id", "x", "y", "z")).localCheckpoint(eager=True)
     n_leaves = tree.where("is_leaf").count()
     n_features = tree.where("tile_id = ''").collect()[0]["n_features"]
+    timings["tree"] = _t() - t0
 
     if with_payload:
         todo = tiled
@@ -139,9 +174,13 @@ def run_tiler(
                 )[:fail_after_tiles]
             ]
             todo = todo.where(F.col("tile_id").isin(keep))
+        t0 = _t()
         encoded = todo.groupBy("tile_id").applyInPandas(encode_tile, ENCODED_SCHEMA)
         encoded.write.mode("append").parquet(tiles_dir)
+        timings["encode_write"] = _t() - t0
+        t0 = _t()
         lineage = (
+            # parquet column pruning: the heavy atlas column is never read
             spark.read.parquet(tiles_dir)
             .select(
                 F.lit(run_id).alias("run_id"),
@@ -152,7 +191,15 @@ def run_tiler(
             )
         )
         lineage.write.mode("overwrite").parquet(lineage_dir)
+        timings["lineage"] = _t() - t0
 
+    t0 = _t()
     os.makedirs(out_dir, exist_ok=True)
     write_manifest(tree, os.path.join(out_dir, "tileset.json"))
-    return {"n_features": int(n_features), "n_tiles": int(n_leaves)}
+    timings["manifest"] = _t() - t0
+    base.unpersist()
+    return {
+        "n_features": int(n_features),
+        "n_tiles": int(n_leaves),
+        "timings": {k: round(v, 2) for k, v in timings.items()},
+    }

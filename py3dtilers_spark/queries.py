@@ -780,6 +780,68 @@ SELECT node, ancestor, CAST(depth AS INT) AS depth FROM anc WHERE node LIKE 'o:%
 """
 
 
+# J4 texture-URI lookup join (citym_cityobject.py:116-129): dedup the
+# "texture key", derive/fetch once per distinct key, broadcast-join back.
+
+def q_texture_lookup(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    keys = feats.select("w", "h", "fmt").distinct()
+    fetched = keys.withColumn(
+        "tex_uri",
+        F.expr("'tex/' || fmt || '/' || CAST(w AS STRING) || 'x' || CAST(h AS STRING) || '.bin'"),
+    ).withColumn("tex_bytes_len", F.expr("CAST(w AS BIGINT) * h * 3"))
+    return (
+        feats.join(F.broadcast(fetched), ["w", "h", "fmt"])
+        .groupBy("tex_uri")
+        .agg(F.count(F.lit(1)).alias("n_refs"), F.min("tex_bytes_len").alias("tex_bytes_len"))
+    )
+
+
+ORACLE_TEXTURE = oracle_prelude() + """
+, keys AS (
+  SELECT DISTINCT w, h, fmt FROM features
+), fetched AS (
+  SELECT w, h, fmt,
+         'tex/' || fmt || '/' || CAST(w AS STRING) || 'x' || CAST(h AS STRING) || '.bin' AS tex_uri,
+         CAST(w AS BIGINT) * h * 3 AS tex_bytes_len
+  FROM keys
+)
+SELECT tex_uri, count(*) AS n_refs, min(tex_bytes_len) AS tex_bytes_len
+FROM features JOIN fetched USING (w, h, fmt)
+GROUP BY tex_uri
+"""
+
+
+# G13 color lerp (Color/color_config.py:45-89 + GeojsonTiler.py:128-159):
+# attribute min/max -> per-row linear interpolation into RGB ints.
+
+def q_color_lerp(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    mm = feats.agg(
+        F.min("prec_alti").alias("amin"), F.max("prec_alti").alias("amax")
+    )
+    return (
+        feats.crossJoin(F.broadcast(mm))
+        .where("l_orderkey % 200 = 0")
+        .selectExpr(
+            "image_id",
+            "CAST(round((prec_alti - amin) / (amax - amin) * 255.0) AS INT) AS r",
+            "CAST(round((1.0 - (prec_alti - amin) / (amax - amin)) * 255.0) AS INT) AS b",
+            "128 AS g",
+        )
+    )
+
+
+ORACLE_COLOR = oracle_prelude() + """
+SELECT image_id,
+       CAST(round((prec_alti - amin) / (amax - amin) * 255.0) AS INT) AS r,
+       CAST(round((1.0 - (prec_alti - amin) / (amax - amin)) * 255.0) AS INT) AS b,
+       128 AS g
+FROM features CROSS JOIN (SELECT min(prec_alti) AS amin, max(prec_alti) AS amax FROM features) m
+WHERE l_orderkey % 200 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -823,6 +885,8 @@ def _register_extra():
             "batch_key_union": (q_key_union, ORACLE_KEY_UNION),
             "union_all": (q_union, ORACLE_UNION),
             "ancestor_closure": (q_ancestors, ORACLE_ANCESTORS),
+            "texture_lookup_join": (q_texture_lookup, ORACLE_TEXTURE),
+            "color_lerp": (q_color_lerp, ORACLE_COLOR),
         }
     )
 

@@ -1,0 +1,117 @@
+"""Wavefront OBJ source (S2) and sink (K3).
+
+Source (reference: ObjTiler/obj.py:141-175 via pywavefront): parallelized
+across FILES — each file is one task (wholeTextFiles), parsed with numpy
+inside an Arrow batch; one feature per 'o'/'g' object, centroid = vertex
+mean. Covers the v/f subset (the reference's 8 interleaved vertex formats
+are a pywavefront detail; the distributed shape is the same).
+
+Sink (reference: ObjWriter, Common/obj_writer.py:5-115 — dict-based global
+vertex dedup with dense index assignment): here dedup is a distributed
+dropDuplicates + row_number dense re-index + join-back remap of face
+indices; only the final text assembly touches the driver (single-file
+format).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_obj(spark: SparkSession, path_glob: str) -> DataFrame:
+    """One row per OBJ object: (file, object_name, n_vertices, x, y, z)."""
+    rdd = spark.sparkContext.wholeTextFiles(path_glob)
+    raw = spark.createDataFrame(rdd, "file string, content string")
+
+    lines = raw.select(
+        "file", F.explode(F.split("content", "\n")).alias("line")
+    ).withColumn("line", F.trim("line"))
+    # carry the current object name down to each vertex line via a running
+    # last_value window ordered by original position
+    lines = lines.withColumn(
+        "pos", F.monotonically_increasing_id()
+    )
+    w = (
+        Window.partitionBy("file")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = lines.withColumn(
+        "obj_name",
+        F.last(
+            F.when(
+                F.col("line").rlike("^[og] "), F.expr("substring(line, 3)")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    ).withColumn("obj_name", F.coalesce("obj_name", F.lit("default")))
+    verts = tagged.where(F.col("line").rlike("^v ")).select(
+        "file",
+        "obj_name",
+        F.expr("CAST(split(line, ' +')[1] AS DOUBLE)").alias("vx"),
+        F.expr("CAST(split(line, ' +')[2] AS DOUBLE)").alias("vy"),
+        F.expr("CAST(split(line, ' +')[3] AS DOUBLE)").alias("vz"),
+    )
+    return verts.groupBy("file", "obj_name").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.avg("vx").alias("x"),
+        F.avg("vy").alias("y"),
+        F.avg("vz").alias("z"),
+    )
+
+
+_BOX_CORNERS = [
+    (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+]
+# 12 triangles of a box, indices into _BOX_CORNERS
+_BOX_TRIS = [
+    (0, 1, 2), (0, 2, 3), (4, 6, 5), (4, 7, 6),
+    (0, 4, 5), (0, 5, 1), (1, 5, 6), (1, 6, 2),
+    (2, 6, 7), (2, 7, 3), (3, 7, 4), (3, 4, 0),
+]
+
+
+def write_obj_boxes(tree_leaves: DataFrame, path: str) -> int:
+    """K3: emit one box mesh per leaf tile as a single OBJ file with GLOBAL
+    vertex dedup (shared corners between adjacent tiles collapse to one 'v'
+    line, as the reference's ObjWriter dict does). Returns vertex count."""
+    spark = tree_leaves.sparkSession
+    corners = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(_BOX_CORNERS)], "ci int, fx int, fy int, fz int"
+    )
+    verts = (
+        tree_leaves.crossJoin(F.broadcast(corners))
+        .selectExpr(
+            "tile_id", "ci",
+            "CASE WHEN fx = 0 THEN xmin ELSE xmax END AS vx",
+            "CASE WHEN fy = 0 THEN ymin ELSE ymax END AS vy",
+            "CASE WHEN fz = 0 THEN zmin ELSE zmax END AS vz",
+        )
+    )
+    uniq = verts.select("vx", "vy", "vz").distinct()
+    wdense = Window.orderBy("vx", "vy", "vz")
+    indexed = uniq.withColumn("vid", F.row_number().over(wdense))  # 1-based OBJ ids
+    remap = verts.join(indexed, ["vx", "vy", "vz"]).select("tile_id", "ci", "vid")
+
+    tris = spark.createDataFrame(
+        [(t, a, b, c) for t, (a, b, c) in enumerate(_BOX_TRIS)],
+        "ti int, a int, b int, c int",
+    )
+    faces = (
+        tree_leaves.select("tile_id")
+        .crossJoin(F.broadcast(tris))
+        .join(remap.withColumnRenamed("ci", "a").withColumnRenamed("vid", "va"), ["tile_id", "a"])
+        .join(remap.withColumnRenamed("ci", "b").withColumnRenamed("vid", "vb"), ["tile_id", "b"])
+        .join(remap.withColumnRenamed("ci", "c").withColumnRenamed("vid", "vc"), ["tile_id", "c"])
+        .select("tile_id", "ti", "va", "vb", "vc")
+    )
+    v_rows = indexed.orderBy("vid").collect()
+    f_rows = faces.orderBy("tile_id", "ti").collect()
+    with open(path, "w") as fh:
+        fh.write("# py3dtilers_spark tile boxes\n")
+        for r in v_rows:
+            fh.write(f"v {r['vx']} {r['vy']} {r['vz']}\n")
+        for r in f_rows:
+            fh.write(f"f {r['va']} {r['vb']} {r['vc']}\n")
+    return len(v_rows)

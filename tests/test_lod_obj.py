@@ -1,0 +1,63 @@
+"""LOD chain parity (reference GE defaults 500/20/5/1) and OBJ source/sink."""
+import os
+
+from py3dtilers_spark.data import features_df
+from py3dtilers_spark.operators.hierarchy import tile_tree
+from py3dtilers_spark.operators.kd_tree import kd_assign
+from py3dtilers_spark.operators.lod import GE_LEAF, GE_LOA, GE_LOD1, GE_ROOT, lod_chain
+from py3dtilers_spark.sources.obj_io import read_obj, write_obj_boxes
+
+
+def _tiled(spark, sf):
+    feats = features_df(spark, sf).select("image_id", "x", "y", "z")
+    return kd_assign(feats, kd_tree_max=500)
+
+
+def test_lod_chain_structure(spark, sf_smoke):
+    tree = lod_chain(_tiled(spark, sf_smoke))
+    rows = {r["node_id"]: r for r in tree.collect()}
+    root = rows[""]
+    assert root["geometric_error"] == GE_ROOT == 500.0
+    leaves = [r for r in rows.values() if r["level_kind"] == "leaf"]
+    assert leaves and all(r["geometric_error"] == GE_LEAF for r in leaves)
+    for leaf in leaves:
+        lod1 = rows[leaf["node_id"] + "/lod1"]
+        loa = rows[leaf["node_id"] + "/loa"]
+        # chain: root -> loa(20) -> lod1(5) -> leaf(1), strictly decreasing
+        assert leaf["parent_id"] == lod1["node_id"]
+        assert lod1["parent_id"] == loa["node_id"]
+        assert loa["parent_id"] == ""
+        assert lod1["geometric_error"] == GE_LOD1 == 5.0
+        assert loa["geometric_error"] == GE_LOA == 20.0
+        assert (
+            GE_ROOT > loa["geometric_error"] > lod1["geometric_error"] > leaf["geometric_error"]
+        )
+        # chain nodes wrap the same features/bbox as the leaf
+        assert lod1["n_features"] == leaf["n_features"]
+        assert (loa["xmin"], loa["xmax"]) == (leaf["xmin"], leaf["xmax"])
+    # root counts roll up
+    assert root["n_features"] == sum(r["n_features"] for r in leaves)
+
+
+def test_lod_chain_without_loa(spark, sf_smoke):
+    tree = lod_chain(_tiled(spark, sf_smoke), with_loa=False)
+    kinds = {r["level_kind"] for r in tree.collect()}
+    assert kinds == {"root", "lod1", "leaf"}
+
+
+def test_obj_roundtrip(spark, sf_smoke, tmp_path):
+    leaves = tile_tree(_tiled(spark, sf_smoke)).where("is_leaf")
+    p = str(tmp_path / "tiles.obj")
+    n_verts = write_obj_boxes(leaves, p)
+    n_leaves = leaves.count()
+    # global dedup: shared corners collapse, so verts < leaves * 8
+    assert 8 <= n_verts <= n_leaves * 8
+    objs = read_obj(spark, p).collect()
+    assert len(objs) == 1  # single unnamed object
+    r = objs[0]
+    assert r["n_vertices"] == n_verts
+    # centroid of dedup'd corners lies inside the global extent
+    assert 1843000.0 <= r["x"] <= 1853000.0
+    with open(p) as fh:
+        lines = fh.readlines()
+    assert sum(1 for ln in lines if ln.startswith("f ")) == n_leaves * 12

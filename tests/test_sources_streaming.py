@@ -1,0 +1,110 @@
+"""Sources + streaming: geojson scan (S1), tileset read-back/merge (S5/K5),
+streaming window agg == batch result."""
+import json
+import os
+
+import numpy as np
+
+from py3dtilers_spark.data import features_df
+from py3dtilers_spark.functions.imaging import decode, psnr, synth_pixels
+from py3dtilers_spark.plans.tiler_job import run_tiler
+from py3dtilers_spark.queries import q_events_window
+from py3dtilers_spark.sources.geojson import read_geojson
+from py3dtilers_spark.sources.tileset_io import (
+    merge_tilesets,
+    read_manifest,
+    read_tiles,
+    tiles_to_features,
+)
+from py3dtilers_spark.streaming.events import run_stream_to_memory
+
+
+def _write_geojson(path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"ID": "BAT1", "HAUTEUR": 12.5, "PREC_ALTI": 1.5,
+                               "NATURE": "Indifferenciee", "Z_MIN": 190.0},
+                "geometry": {"type": "Polygon", "coordinates": [
+                    [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"ID": "BAT2", "HAUTEUR": -1.0, "PREC_ALTI": 9999.0,
+                               "NATURE": None, "Z_MIN": None},
+                "geometry": {"type": "Polygon", "coordinates": [
+                    [[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]]]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"ID": "BAT3", "HAUTEUR": 0.0, "PREC_ALTI": 2.0,
+                               "NATURE": "Eglise", "Z_MIN": 200.0},
+                "geometry": {"type": "Polygon", "coordinates": [
+                    [[20.0, 20.0], [30.0, 20.0], [25.0, 30.0], [20.0, 20.0]]]},
+            },
+        ],
+    }
+    with open(path, "w") as fh:
+        json.dump(fc, fh)
+
+
+def test_geojson_source(spark, tmp_path):
+    p = str(tmp_path / "b.geojson")
+    _write_geojson(p)
+    rows = {r["feature_id"]: r for r in read_geojson(spark, p).collect()}
+    # PREC_ALTI >= 9999 filtered (geojson.py:98-102)
+    assert set(rows) == {"BAT1", "BAT3"}
+    assert rows["BAT1"]["height"] == 12.5
+    assert rows["BAT3"]["height"] == 10.0  # HAUTEUR <= 0 -> default 10
+    assert abs(rows["BAT1"]["x"] - 5.0) < 1e-9  # closing vertex dropped
+    unfiltered = read_geojson(spark, p, apply_prec_filter=False).count()
+    assert unfiltered == 3
+
+
+def test_tileset_roundtrip_and_merge(spark, sf_smoke, tmp_path):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    run_tiler(spark, sf_smoke, out_a, kd_tree_max=400)
+    run_tiler(spark, sf_smoke, out_b, kd_tree_max=1000)
+
+    # S5: tiles -> features inversion preserves ids/captions/payload fidelity
+    feats = tiles_to_features(read_tiles(spark, out_a))
+    orig = {
+        r["image_id"]: (r["phash"], r["w"], r["h"], r["caption"])
+        for r in features_df(spark, sf_smoke).collect()
+    }
+    got = feats.collect()
+    assert len(got) == len(orig)
+    for r in got[:50]:
+        phash, w, h, cap = orig[r["image_id"]]
+        assert r["caption"] == cap
+        assert (r["w"], r["h"]) == (w, h)
+        img = decode(bytes(r["payload"]))
+        ref = synth_pixels(phash, w, h)
+        assert psnr(ref, img) >= 40.0 or np.array_equal(img, ref)
+
+    # K5/U2: merge under a fresh root
+    merged_dir = str(tmp_path / "m")
+    merged = merge_tilesets(spark, [out_a, out_b], merged_dir)
+    na = read_tiles(spark, out_a).count()
+    nb = read_tiles(spark, out_b).count()
+    assert merged.count() == na + nb
+    prefixes = {r["tile_id"].split("/")[0] for r in merged.select("tile_id").collect()}
+    assert prefixes == {"t0", "t1"}
+    m = read_manifest(merged_dir)
+    assert len(m["root"]["children"]) == 2
+    for child in m["root"]["children"]:
+        assert child["geometricError"] < m["geometricError"]
+
+
+def test_streaming_matches_batch(spark, sf_smoke):
+    stream_out = run_stream_to_memory(spark, sf_smoke, name="ev_smoke").toPandas()
+    batch = q_events_window(spark, sf_smoke).toPandas()
+    key = ["bucket", "event_type"]
+    a = stream_out.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
+    assert (a["value_e4"].to_numpy() == b["value_e4"].to_numpy()).all()
