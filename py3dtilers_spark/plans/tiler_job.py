@@ -86,6 +86,84 @@ def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def encode_tiles_stream(tiled: DataFrame) -> DataFrame:
+    """Streaming sort-based tile encoder.
+
+    Input MUST be hash-partitioned AND sorted by tile_id (repartition +
+    sortWithinPartitions): tiles are then contiguous runs inside each
+    partition, so a mapInPandas iterator encodes tile-by-tile holding at
+    most ONE tile in memory — unlike groupBy().applyInPandas(), which
+    materializes a whole shuffle partition as pandas before splitting into
+    groups. At 10^12 rows (and on memory-ballooned hosts where fresh pages
+    are expensive) the peak-memory difference is partition-size vs
+    tile-size."""
+
+    def gen(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tids = pdf["tile_id"].to_numpy()
+            change = np.flatnonzero(tids[1:] != tids[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            for s, e in zip(starts, ends):
+                tid = tids[s]
+                if cur is not None and tid != cur and buf:
+                    yield encode_tile(pd.concat(buf, ignore_index=True))
+                    buf = []
+                cur = tid
+                buf.append(pdf.iloc[s:e])
+        if buf:
+            yield encode_tile(pd.concat(buf, ignore_index=True))
+
+    return tiled.mapInPandas(gen, ENCODED_SCHEMA)
+
+
+def encode_tiles_from_slim(pre: DataFrame) -> DataFrame:
+    """Fused synth+encode streaming encoder: input is the SLIM row set
+    (tile_id, image_id, w, h, fmt, caption, phash), hash-partitioned and
+    sorted by tile_id. Payload bytes are synthesized and consumed inside the
+    same Python worker — zero Arrow hops for the heavy column. One shuffle
+    of slim columns is the pipeline's total shuffle volume."""
+    from ..functions.imaging import synth_encode_batch
+
+    def gen(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+
+        def flush():
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            pdf = pdf.copy()
+            pdf["bytes"] = synth_encode_batch(
+                pdf["phash"].to_numpy(),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+                pdf["fmt"].to_numpy(),
+            )
+            return encode_tile(pdf)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tids = pdf["tile_id"].to_numpy()
+            change = np.flatnonzero(tids[1:] != tids[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            for s, e in zip(starts, ends):
+                tid = tids[s]
+                if cur is not None and tid != cur and buf:
+                    yield flush()
+                    buf = []
+                cur = tid
+                buf.append(pdf.iloc[s:e])
+        if buf:
+            yield flush()
+
+    return pre.mapInPandas(gen, ENCODED_SCHEMA)
+
+
 def run_tiler(
     spark: SparkSession,
     sf_dir: str,
@@ -119,33 +197,30 @@ def run_tiler(
     base = src.select(
         "image_id", "x", "y", "z", "w", "h", "fmt", "caption", "phash"
     ).persist()  # consumed by both the kd branch and the payload branch
-    slim = kd_assign(
-        base.select("image_id", "x", "y", "z"),
-        kd_tree_max=kd_tree_max,
-        exact=exact,
-    )
-    # consumed twice (hierarchy + assignment join); it is tiny (id + coords)
-    slim = slim.localCheckpoint(eager=True)
-    timings["kd"] = _t() - t0
-    if with_payload:
-        from ..data.synth_images import attach_bytes
-
-        # project to the minimal column set BEFORE the Arrow UDF boundary —
-        # mapInPandas blocks column pruning, so the projection must be
-        # upstream of it. Explicit repartition: AQE coalesces the (tiny)
-        # columnar input to a handful of partitions, which would serialize
-        # the payload UDF whose OUTPUT is ~100x bigger — size the stage for
-        # its output, not its input.
-        n_parts = spark.sparkContext.defaultParallelism * 2
-        feats = attach_bytes(
-            base.select("image_id", "w", "h", "fmt", "caption", "phash")
-            .repartition(n_parts, "image_id")
-        )
-        tiled = feats.select("image_id", "fmt", "caption", "bytes").join(
-            slim.select("image_id", "tile_id"), "image_id"
-        )
+    n_rows = base.count()
+    # size encode tasks by their OUTPUT (~35k payload rows each): large
+    # per-task payload buffers degrade superlinearly (page-fault pressure),
+    # and AQE only sees the tiny columnar input. Round up to whole waves of
+    # the available slots to avoid a straggler tail.
+    par = spark.sparkContext.defaultParallelism
+    waves = max(2, -(-(n_rows // 35_000 + 1) // par))
+    n_parts = waves * par
+    if exact:
+        # parity path: kd runs on the slim projection (window sorts), the
+        # assignment joins back to the payload columns
+        slim = kd_assign(
+            base.select("image_id", "x", "y", "z"),
+            kd_tree_max=kd_tree_max,
+            exact=True,
+        ).localCheckpoint(eager=True)
+        assigned = base.join(slim.select("image_id", "tile_id"), "image_id")
+        tree_src = slim
     else:
-        tiled = slim
+        # scale path: tile assignment is a broadcast-tree map-side column —
+        # NO join, NO shuffle of anything yet
+        assigned = kd_assign(base, kd_tree_max=kd_tree_max, exact=False)
+        tree_src = assigned
+    timings["kd"] = _t() - t0
 
     tiles_dir = os.path.join(out_dir, "tiles")
     lineage_dir = os.path.join(out_dir, "lineage")
@@ -153,18 +228,22 @@ def run_tiler(
     # the tree is tiny (~2x leaf count rows) and consumed three times
     # (leaf count, root stats, manifest collect) — materialize it once
     t0 = _t()
-    tree = tile_tree(slim.select("tile_id", "x", "y", "z")).localCheckpoint(eager=True)
+    tree = tile_tree(tree_src.select("tile_id", "x", "y", "z")).localCheckpoint(eager=True)
     n_leaves = tree.where("is_leaf").count()
     n_features = tree.where("tile_id = ''").collect()[0]["n_features"]
     timings["tree"] = _t() - t0
 
     if with_payload:
-        todo = tiled
+        from ..data.synth_images import attach_bytes
+
+        todo = assigned.select(
+            "tile_id", "image_id", "w", "h", "fmt", "caption", "phash"
+        )
         if resume and os.path.exists(lineage_dir):
             done = spark.read.parquet(lineage_dir).where(
                 F.col("run_id") == run_id
             ).select("cell_id").withColumnRenamed("cell_id", "tile_id")
-            todo = tiled.join(F.broadcast(done), "tile_id", "left_anti")
+            todo = todo.join(F.broadcast(done), "tile_id", "left_anti")
         if fail_after_tiles is not None:
             keep = [
                 r["tile_id"]
@@ -175,13 +254,24 @@ def run_tiler(
             ]
             todo = todo.where(F.col("tile_id").isin(keep))
         t0 = _t()
-        encoded = todo.groupBy("tile_id").applyInPandas(encode_tile, ENCODED_SCHEMA)
+        # LATE MATERIALIZATION (the reference's lazy per-tile geometry,
+        # geometry_node.py:70-75): ONE shuffle of the slim columns
+        # co-partitions+sorts rows by tile; payload bytes are synthesized
+        # inside the final partitioning (never cross a shuffle) and encoded
+        # by the streaming group iterator in the SAME stage. With a real
+        # upstream bytes column the identical plan applies — bytes would
+        # ride that one repartition.
+        pre = todo.repartition(n_parts, "tile_id").sortWithinPartitions("tile_id")
+        encoded = encode_tiles_from_slim(pre)
         encoded.write.mode("append").parquet(tiles_dir)
         timings["encode_write"] = _t() - t0
         t0 = _t()
         lineage = (
-            # parquet column pruning: the heavy atlas column is never read
+            # parquet column pruning: the heavy atlas column is never read;
+            # coalesce: the session's small maxPartitionBytes would otherwise
+            # split this metadata-only read into hundreds of tiny tasks
             spark.read.parquet(tiles_dir)
+            .coalesce(spark.sparkContext.defaultParallelism)
             .select(
                 F.lit(run_id).alias("run_id"),
                 F.col("tile_id").alias("cell_id"),
