@@ -1,23 +1,34 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS], plus the north-rule scaling proxy — the full
-tiling pipeline on an amplified input at N and 4N cores (default 4 vs 16)
-with throughput scaling efficiency. Prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS], plus the north-rule scaling measurement — the full
+tiling pipeline over a materialized image+caption input table (the
+BASELINE.json input_hint shape, bytes column included) at N and 4N cores.
+
+Scaling protocol (the host is a shared, non-stationary VM — BENCH/BASELINE.md):
+  - the SAME materialized input feeds every run (written once, untimed)
+  - lo/hi runs execute in interleaved adjacent pairs (lo,hi),(lo,hi),(lo,hi),
+    each in a fresh subprocess (fresh JVM, no carryover)
+  - efficiency = median over pairs of (thr_hi/thr_lo)/4 — adjacency makes
+    each pair see the same host weather; the median rejects degraded windows
+  - per-phase timings are recorded at BOTH levels (median run of each)
+
+Prints ONE JSON line.
 """
 from __future__ import annotations
 
 import json
 import os
 import shutil
+import statistics
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from py3dtilers_spark.queries import QUERIES  # noqa: E402
-from py3dtilers_spark.plans.tiler_job import run_tiler  # noqa: E402
-from py3dtilers_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -25,7 +36,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # to 4 so the 4N run still has machine headroom and the parallel fraction
 # dominates the fixed driver cost at sandbox data sizes.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "8"))
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+KD_MAX = int(os.environ.get("SPARK_GRAFT_SCALE_KD_MAX", "500"))
 
 HEADLINE = [
     "kd_tiles",
@@ -50,36 +63,46 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def _scaling_job(cores: int, out_root: str) -> dict:
-    """Full pipeline (payload encode + lineage + manifest) on the amplified
-    input; fresh session per parallelism level. Same input both levels."""
+def materialize_input(path: str) -> int:
+    """Write the amplified input table WITH payload bytes once (untimed):
+    the measured job then reads exactly the input_hint table shape
+    (image_id, bytes, w, h, fmt, caption, phash + centroid). Returns rows."""
     from py3dtilers_spark.data.features import features_amplified
+    from py3dtilers_spark.data.synth_images import attach_bytes
+    from py3dtilers_spark.session import get_spark
 
-    spark = get_spark(f"bench_c{cores}", cores=cores, shuffle_partitions=cores)
-    out = os.path.join(out_root, f"c{cores}")
-    feats = features_amplified(spark, SF_DIR, SCALE_COPIES)
-    t0 = time.time()
-    stats = run_tiler(
-        spark, SF_DIR, out, kd_tree_max=2000, exact=False, with_payload=True,
-        run_id=f"bench_c{cores}", features=feats,
-    )
-    dt = time.time() - t0
+    spark = get_spark("bench_materialize", cores=CPUS, shuffle_partitions=CPUS)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        feats = features_amplified(spark, SF_DIR, SCALE_COPIES)
+        attach_bytes(feats).repartition(128).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
     spark.stop()
+    return n
+
+
+def scaling_run(cores: int, input_path: str, out_root: str, n_rows: int) -> dict:
+    out = os.path.join(out_root, f"c{cores}")
     shutil.rmtree(out, ignore_errors=True)
-    return {"sec": dt, **stats}
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
+         str(cores), input_path, out, str(n_rows), str(KD_MAX)],
+        capture_output=True, text=True,
+    )
+    if res.returncode != 0:
+        raise RuntimeError(f"scaling run c{cores} failed:\n{res.stderr[-4000:]}")
+    return json.loads(res.stdout.strip().splitlines()[-1])
 
 
 def _machine_calibration(n_lo: int, n_hi: int) -> dict:
     """Pure-CPU multiprocess throughput at the two parallelism levels —
     measures what the (virtualized) HOST actually delivers going N -> 4N
-    processes, independent of Spark. The job's scaling efficiency is
-    reported both raw and normalized by this hardware ceiling."""
+    processes, independent of Spark. Reported alongside the raw job
+    efficiency as context for degraded-host windows."""
     import multiprocessing as mp
-    import zlib
 
     import numpy as np
 
-    _ = zlib
     buf = np.random.default_rng(42).integers(0, 255, 4 << 20, dtype=np.uint8).tobytes()
     out = {}
     for n in (n_lo, n_hi):
@@ -108,12 +131,31 @@ def _calib_work(buf):
 
 
 def main() -> None:
+    n_lo, n_hi = SCALE_N, 4 * SCALE_N
     out_root = tempfile.mkdtemp(prefix="bench_tiles_")
-    queries: dict[str, float] = {}
+    input_path = os.path.join(
+        tempfile.gettempdir(), f"bench_input_x{SCALE_COPIES}_{_sf_of(SF_DIR)}"
+    )
 
-    calib = _machine_calibration(SCALE_N, 4 * SCALE_N)
-    lo = _scaling_job(SCALE_N, out_root)
-    hi = _scaling_job(4 * SCALE_N, out_root)
+    n_rows = materialize_input(input_path)
+    calib = _machine_calibration(n_lo, n_hi)
+
+    pairs = []
+    for i in range(SCALE_PAIRS):
+        lo = scaling_run(n_lo, input_path, out_root, n_rows)
+        hi = scaling_run(n_hi, input_path, out_root, n_rows)
+        eff = (lo["sec"] / hi["sec"]) / (n_hi / n_lo)
+        pairs.append({"lo": lo, "hi": hi, "eff": round(eff, 3)})
+
+    effs = [p["eff"] for p in pairs]
+    med_eff = statistics.median(effs)
+    # the pair whose eff is the median is the representative run
+    rep = min(pairs, key=lambda p: abs(p["eff"] - med_eff))
+    lo_sec = statistics.median(p["lo"]["sec"] for p in pairs)
+    hi_sec = statistics.median(p["hi"]["sec"] for p in pairs)
+
+    queries: dict[str, float] = {}
+    from py3dtilers_spark.session import get_spark
 
     spark = get_spark("bench_queries", cores=CPUS, shuffle_partitions=CPUS)
     for name in HEADLINE:
@@ -123,12 +165,11 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    total = round(sum(queries.values()) + hi["sec"], 3)
-    queries[f"tiler_pipeline_x{SCALE_COPIES}_c{4 * SCALE_N}"] = round(hi["sec"], 3)
+    total = round(sum(queries.values()) + hi_sec, 3)
+    queries[f"tiler_pipeline_x{SCALE_COPIES}_c{n_hi}"] = round(hi_sec, 3)
 
-    thr_lo = lo["n_features"] / lo["sec"]
-    thr_hi = hi["n_features"] / hi["sec"]
-    efficiency = (thr_hi / thr_lo) / 4.0
+    thr_lo = n_rows / lo_sec
+    thr_hi = n_rows / hi_sec
 
     result = {
         "metric": "wall_sec_headline_suite",
@@ -136,22 +177,24 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": _sf_of(SF_DIR),
-        "tiles_per_sec": round(hi["n_tiles"] / hi["sec"], 3),
+        "tiles_per_sec": round(rep["hi"]["n_tiles"] / rep["hi"]["sec"], 3),
         "features_per_sec": round(thr_hi, 1),
         "scaling": {
-            "cores_lo": SCALE_N,
-            "cores_hi": 4 * SCALE_N,
-            "amplified_rows": hi["n_features"],
-            "sec_lo": round(lo["sec"], 3),
-            "sec_hi": round(hi["sec"], 3),
+            "cores_lo": n_lo,
+            "cores_hi": n_hi,
+            "input_rows": n_rows,
+            "payload": "materialized bytes column (input_hint table)",
+            "protocol": f"{SCALE_PAIRS} interleaved (lo,hi) pairs, fresh JVM each,"
+                        " efficiency = median of per-pair (thr_hi/thr_lo)/4",
+            "sec_lo": round(lo_sec, 3),
+            "sec_hi": round(hi_sec, 3),
             "features_per_sec_lo": round(thr_lo, 1),
             "features_per_sec_hi": round(thr_hi, 1),
-            "efficiency": round(efficiency, 3),
+            "efficiency": round(med_eff, 3),
+            "efficiency_pairs": effs,
             "machine_calibration": calib,
-            "efficiency_normalized": round(
-                min(1.0, efficiency / max(calib["machine_efficiency"], 1e-9)), 3
-            ),
-            "timings_hi": hi.get("timings", {}),
+            "timings_lo": rep["lo"].get("timings", {}),
+            "timings_hi": rep["hi"].get("timings", {}),
         },
     }
     shutil.rmtree(out_root, ignore_errors=True)

@@ -111,19 +111,27 @@ def synth_encode_batch(
     return out  # type: ignore[return-value]
 
 
+def _compress(arr: np.ndarray) -> bytes:
+    """zlib over the array's own buffer — no tobytes() copy. Fresh multi-MB
+    copies are mmap-backed and re-fault pages per call on ballooned hosts."""
+    if not arr.flags.c_contiguous:
+        arr = np.ascontiguousarray(arr)
+    return zlib.compress(arr, _ZLEVEL)
+
+
 def encode(img: np.ndarray, fmt: str) -> bytes:
     """Encode an (h, w, 3) uint8 array. fmt: 'png' (lossless) or 'jpg' (lossy)."""
     h, w = img.shape[0], img.shape[1]
     header = struct.pack("<HH", w, h)
     if fmt == "png":
-        return MAGIC_RAW + header + zlib.compress(img.tobytes(), _ZLEVEL)
+        return MAGIC_RAW + header + _compress(img)
     # (p + 2) // 4 == (p >> 2) + ((p & 3) >= 2): overflow-free in uint8
     q8 = _scratch("enc8", img.shape, np.uint8)
     np.right_shift(img, 2, out=q8)
     r = _scratch("encr", img.shape, np.uint8)
     np.bitwise_and(img, 3, out=r)
     q8 += r >= 2
-    return MAGIC_QNT + header + zlib.compress(q8.tobytes(), _ZLEVEL)
+    return MAGIC_QNT + header + _compress(q8)
 
 
 def decode(blob: bytes) -> np.ndarray:

@@ -97,3 +97,21 @@ def ring_bbox_cells(ring: np.ndarray, cell_size: float, x0: float = X0, y0: floa
         for gx in range(gx0, gx1 + 1)
         for gy in range(gy0, gy1 + 1)
     ]
+
+
+def ring_bbox_cells_morton(ring: np.ndarray, cell_size: float, x0: float = X0, y0: float = Y0):
+    """Morton (Z-order) cell cover of a ring's bbox — the broadcast side of
+    the PIP prefilter when features are keyed with ``morton_key``. Same cells
+    as ``ring_bbox_cells``, encoded with the interleaved-bit key so the join
+    key is the hierarchical H3/S2-style index."""
+    gx0 = int(np.floor((ring[:, 0].min() - x0) / cell_size))
+    gx1 = int(np.floor((ring[:, 0].max() - x0) / cell_size))
+    gy0 = int(np.floor((ring[:, 1].min() - y0) / cell_size))
+    gy1 = int(np.floor((ring[:, 1].max() - y0) / cell_size))
+    gxs, gys = np.meshgrid(
+        np.arange(gx0, gx1 + 1, dtype=np.int64),
+        np.arange(gy0, gy1 + 1, dtype=np.int64),
+    )
+    mx = _interleave_bits_u32(gxs.ravel())
+    my = _interleave_bits_u32(gys.ravel())
+    return [int(k) for k in ((mx << np.uint64(1)) | my).astype(np.int64)]

@@ -123,15 +123,35 @@ def _kd_approx(df, kd_tree_max, x_col, y_col, sample_cap: int = 100_000):
     is one scan — versus one shuffle per level for the exact path. Leaf
     sizes are approximate within sampling error (~±3% at the default cap).
     """
-    from pyspark.sql.types import StringType
-
     # three actions consume df (count, sample, assignment scan) — cache it
     df = df.persist()
     n_total = df.count()
     if n_total == 0:
         return df.withColumn("tile_id", F.lit(""))
-    frac = min(1.0, sample_cap / n_total)
-    sample = df.select(x_col, y_col)
+    walk = kd_sample_walk(
+        df.select(x_col, y_col), kd_tree_max, n_total,
+        x_col=x_col, y_col=y_col, sample_cap=sample_cap,
+    )
+    return df.withColumn("tile_id", walk(F.col(x_col), F.col(y_col)))
+
+
+def kd_sample_walk(
+    df_xy: DataFrame,
+    kd_tree_max: int,
+    n_total: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    sample_cap: int = 100_000,
+):
+    """Build the broadcast sample split-tree from a slim (x, y) source and
+    return a vectorized pandas UDF `walk(x, y) -> tile_id`. Splitting the
+    tree build from the assignment lets a payload-heavy table be assigned
+    map-side (column-pruned UDF input) while the sample scan reads only the
+    centroid columns from the file source."""
+    from pyspark.sql.types import StringType
+
+    frac = min(1.0, sample_cap / max(n_total, 1))
+    sample = df_xy.select(x_col, y_col)
     if frac < 1.0:
         sample = sample.sample(fraction=frac, seed=42)
     spts = sample.toPandas()
@@ -188,7 +208,7 @@ def _kd_approx(df, kd_tree_max, x_col, y_col, sample_cap: int = 100_000):
             stack.append((right_a[n], d + 1))
     paths = np.asarray([p if p is not None else "" for p in leaf_path], dtype=object)
 
-    bc = df.sparkSession.sparkContext.broadcast(
+    bc = df_xy.sparkSession.sparkContext.broadcast(
         (thr_a, left_a, right_a, depth_a, paths)
     )
 
@@ -207,7 +227,7 @@ def _kd_approx(df, kd_tree_max, x_col, y_col, sample_cap: int = 100_000):
             live = la[cur] >= 0
         return pd.Series(pth[cur])
 
-    return df.withColumn("tile_id", walk(F.col(x_col), F.col(y_col)))
+    return walk
 
 
 def kd_leaf_index(tiles: DataFrame) -> DataFrame:

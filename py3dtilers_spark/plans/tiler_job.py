@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..data.features import features_df
 from ..functions.imaging import _scratch, decode, encode, shelf_pack
 from ..operators.hierarchy import tile_tree, write_manifest
-from ..operators.kd_tree import kd_assign
+from ..operators.kd_tree import kd_assign, kd_sample_walk
 
 ENCODED_SCHEMA = (
     "tile_id string, n_features bigint, atlas binary, atlas_w int, atlas_h int,"
@@ -59,7 +59,12 @@ def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     atlas.fill(0)
     for (px, py), im in zip(pos, imgs):
         atlas[py : py + im.shape[0], px : px + im.shape[1]] = im
-    fmt = "png" if (pdf["fmt"] == "png").all() else "jpg"
+    # lossless fidelity invariant (BASELINE.json input_hint): a png (lossless)
+    # member must round-trip byte-exact no matter what tile it lands in, so
+    # the atlas is stored lossless whenever ANY member is png. jpg members
+    # were already quantized at their own encode; re-quantizing an all-jpg
+    # atlas is the identity on those pixels, so PSNR is preserved either way.
+    fmt = "png" if (pdf["fmt"] == "png").any() else "jpg"
     blob = encode(atlas, fmt)
     batch = {
         "ids": pdf["image_id"].tolist(),
@@ -175,9 +180,18 @@ def run_tiler(
     resume: bool = False,
     fail_after_tiles: int | None = None,
     features: "DataFrame | None" = None,
+    payload_source: str = "synth",
+    n_rows_hint: int | None = None,
 ) -> dict:
     """Execute the pipeline; returns summary metrics (incl. per-phase secs).
 
+    payload_source:
+      "synth"  — features carries no bytes; payload pixels are synthesized
+                 post-shuffle from phash (test/sandbox mode).
+      "column" — features HAS a `bytes` binary column (the BASELINE.json
+                 input_hint table shape): bytes ride the one tile shuffle and
+                 are decoded by the streaming encoder. The kd branch and tree
+                 roll-up run on column-pruned scans that never touch bytes.
     fail_after_tiles: test hook — encode only the first K tiles (by path
     order) then 'crash', leaving a partial lineage for resume tests.
     """
@@ -188,16 +202,20 @@ def run_tiler(
     # kd + hierarchy run on the byte-free projection: mapInPandas (the
     # payload generator/decoder) is a column-pruning barrier, so any plan
     # that "selects a few columns" downstream of it would still materialize
-    # every payload byte. Payload bytes are produced exactly once, on the
-    # encode branch, and shuffled exactly once (the assignment join) — at
+    # every payload byte. Payload bytes flow through exactly one shuffle
+    # (the tile repartition) and are never persisted or scanned twice — at
     # 100 TB payload bytes dominate, so this is the difference between 1x
     # and depth-x payload generation + shuffle volume.
     t0 = _t()
     src = features if features is not None else features_df(spark, sf_dir, with_bytes=False)
-    base = src.select(
-        "image_id", "x", "y", "z", "w", "h", "fmt", "caption", "phash"
-    ).persist()  # consumed by both the kd branch and the payload branch
-    n_rows = base.count()
+    slim_cols = ["image_id", "x", "y", "z", "w", "h", "fmt", "caption", "phash"]
+    if payload_source == "column":
+        # bytes stay out of every branch except the encode one; no persist
+        # of the payload (the file source IS the cache)
+        base = src.select(*slim_cols)
+    else:
+        base = src.select(*slim_cols).persist()
+    n_rows = n_rows_hint if n_rows_hint is not None else base.count()
     # size encode tasks by their OUTPUT (~35k payload rows each): large
     # per-task payload buffers degrade superlinearly (page-fault pressure),
     # and AQE only sees the tiny columnar input. Round up to whole waves of
@@ -213,8 +231,20 @@ def run_tiler(
             kd_tree_max=kd_tree_max,
             exact=True,
         ).localCheckpoint(eager=True)
-        assigned = base.join(slim.select("image_id", "tile_id"), "image_id")
+        assigned = (src if payload_source == "column" else base).join(
+            slim.select("image_id", "tile_id"), "image_id"
+        )
         tree_src = slim
+    elif payload_source == "column":
+        # scale path over a payload table: build the split tree from a slim
+        # (x, y) sample scan, then assign BOTH branches map-side — the tree
+        # roll-up on a pruned scan, the encode branch on the full rows.
+        # Zero shuffles before the single tile repartition.
+        walk = kd_sample_walk(base.select("x", "y"), kd_tree_max, n_rows)
+        assigned = src.withColumn("tile_id", walk(F.col("x"), F.col("y")))
+        tree_src = base.select("x", "y", "z").withColumn(
+            "tile_id", walk(F.col("x"), F.col("y"))
+        )
     else:
         # scale path: tile assignment is a broadcast-tree map-side column —
         # NO join, NO shuffle of anything yet
@@ -234,11 +264,10 @@ def run_tiler(
     timings["tree"] = _t() - t0
 
     if with_payload:
-        from ..data.synth_images import attach_bytes
-
-        todo = assigned.select(
-            "tile_id", "image_id", "w", "h", "fmt", "caption", "phash"
-        )
+        payload_cols = ["tile_id", "image_id", "w", "h", "fmt", "caption", "phash"]
+        if payload_source == "column":
+            payload_cols.append("bytes")
+        todo = assigned.select(*payload_cols)
         if resume and os.path.exists(lineage_dir):
             done = spark.read.parquet(lineage_dir).where(
                 F.col("run_id") == run_id
@@ -262,32 +291,39 @@ def run_tiler(
         # upstream bytes column the identical plan applies — bytes would
         # ride that one repartition.
         pre = todo.repartition(n_parts, "tile_id").sortWithinPartitions("tile_id")
-        encoded = encode_tiles_from_slim(pre)
+        encoded = (
+            encode_tiles_stream(pre)
+            if payload_source == "column"
+            else encode_tiles_from_slim(pre)
+        )
         encoded.write.mode("append").parquet(tiles_dir)
         timings["encode_write"] = _t() - t0
         t0 = _t()
-        lineage = (
-            # parquet column pruning: the heavy atlas column is never read;
-            # coalesce: the session's small maxPartitionBytes would otherwise
-            # split this metadata-only read into hundreds of tiny tasks
-            spark.read.parquet(tiles_dir)
-            .coalesce(spark.sparkContext.defaultParallelism)
-            .select(
+        # parquet column pruning: the heavy atlas column is never read. The
+        # session's tiny maxPartitionBytes (sized for the sandbox inputs)
+        # would split this metadata-only read into hundreds of tasks — widen
+        # it for the read, then restore.
+        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+        try:
+            lineage = spark.read.parquet(tiles_dir).select(
                 F.lit(run_id).alias("run_id"),
                 F.col("tile_id").alias("cell_id"),
                 F.col("n_features").alias("row_count"),
                 "checksum",
                 F.current_timestamp().alias("completed_at"),
             )
-        )
-        lineage.write.mode("overwrite").parquet(lineage_dir)
+            lineage.write.mode("overwrite").parquet(lineage_dir)
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
         timings["lineage"] = _t() - t0
 
     t0 = _t()
     os.makedirs(out_dir, exist_ok=True)
     write_manifest(tree, os.path.join(out_dir, "tileset.json"))
     timings["manifest"] = _t() - t0
-    base.unpersist()
+    if payload_source != "column":
+        base.unpersist()
     return {
         "n_features": int(n_features),
         "n_tiles": int(n_leaves),

@@ -32,10 +32,7 @@ def test_payload_roundtrip(spark, sf_smoke, tmp_path):
             crop = atlas[y : y + h, x : x + w]
             assert crop.shape == (h, w, 3)
             checked += 1
-        if not lossless:
-            # reconstruct one member and check PSNR against the original
-            iid = batch["ids"][0]
-            x, y, w, h = batch["uv"][0]
+        del lossless
     assert checked == stats["n_features"]
 
 
@@ -49,22 +46,28 @@ def test_payload_psnr_per_feature(spark, sf_smoke, tmp_path):
         r["image_id"]: (r["phash"], r["w"], r["h"], r["fmt"])
         for r in features_df(spark, sf_smoke).collect()
     }
-    n_exact = n_lossy = 0
+    n_exact = n_lossy = n_mixed_exact = 0
     for _, t in tiles.iterrows():
         atlas = decode(bytes(t["atlas"]))
         batch = json.loads(t["batch_json"])
+        fmts = {orig[iid][3] for iid in batch["ids"]}
         for iid, (x, y, w, h) in zip(batch["ids"], batch["uv"]):
             phash, ww, hh, fmt = orig[iid]
             assert (w, h) == (ww, hh)
             ref = synth_pixels(phash, w, h)
             crop = atlas[y : y + h, x : x + w]
-            if batch["fmt"] == "png" and fmt == "png":
-                assert np.array_equal(crop, ref)
+            if fmt == "png":
+                # strict input_hint invariant: lossless rows are byte-exact
+                # in EVERY tile, including mixed-format ones
+                assert np.array_equal(crop, ref), iid
                 n_exact += 1
+                if len(fmts) > 1:
+                    n_mixed_exact += 1
             else:
                 assert psnr(ref, crop) >= 40.0, iid
                 n_lossy += 1
-    assert n_lossy > 0  # mixed tiles exist
+    assert n_lossy > 0
+    assert n_mixed_exact > 0  # the strict check covered mixed tiles
 
 
 def test_resume_produces_identical_output(spark, sf_smoke, tmp_path):

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""One scaling measurement in a clean process: run the full tiler pipeline
+(payload bytes from a materialized input table) at a given parallelism.
+Prints one JSON line {"sec": ..., "timings": {...}, "n_tiles": ..., ...}.
+
+Used by bench.py so the lo/hi runs see identical JVM conditions (fresh
+SparkContext each, no heap/page-cache carryover between levels).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    input_path = sys.argv[2]
+    out_dir = sys.argv[3]
+    n_rows = int(sys.argv[4])
+    kd_max = int(sys.argv[5]) if len(sys.argv) > 5 else 500
+
+    from py3dtilers_spark.plans.tiler_job import run_tiler
+    from py3dtilers_spark.session import get_spark
+
+    spark = get_spark(f"scaling_c{cores}", cores=cores, shuffle_partitions=cores)
+    feats = spark.read.parquet(input_path)
+    t0 = time.time()
+    stats = run_tiler(
+        spark,
+        sf_dir="",
+        out_dir=out_dir,
+        kd_tree_max=kd_max,
+        exact=False,
+        with_payload=True,
+        run_id=f"scale_c{cores}",
+        features=feats,
+        payload_source="column",
+        n_rows_hint=n_rows,
+    )
+    sec = time.time() - t0
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    print(json.dumps({"sec": round(sec, 3), "cores": cores, **stats}))
+
+
+if __name__ == "__main__":
+    main()
