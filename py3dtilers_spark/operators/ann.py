@@ -3,13 +3,19 @@
 Two paths (engine additions for training-data pipelines):
 - brute-force cosine top-k (queries.q_ann_cosine) — the correctness baseline;
   broadcast query set x full scan, fold-based dot products.
-- LSH-bucketed (this module) — the 100 TB path: P random-hyperplane sign bits
-  form a bucket key; candidates = same-bucket rows only, reranked by exact
-  cosine. Hyperplanes are seed-stable literals embedded in both the Spark
-  plan and the DuckDB oracle, so results are bit-identical.
+- banded LSH (this module) — the 100 TB path: 16 random-hyperplane sign bits
+  split into 2 bands of 8; a row is a candidate for a query iff they share
+  ANY band bucket (multi-band recall, the same band trick as MinHash LSH).
+  Candidates are deduped and reranked by exact cosine. Hyperplanes are
+  seed-stable literals embedded in both the Spark plan and the DuckDB
+  oracle, so results are bit-identical.
 
-Shuffle shape at scale: one groupBy(bucket) instead of a crossJoin; bucket
-skew is bounded by P (2^P buckets) and AQE skew splitting.
+Scale shape: the probe side joins the corpus with a plain shuffle equi-join
+on (band, bkey) — no broadcast of the query side (1% of a 10^9-row corpus
+would blow any broadcast budget); Catalyst/AQE still picks broadcast when
+the query side IS small. Bucket space = 2 bands x 2^8 keys per band at this
+dimensionality — band width (bits per band) is the recall/cost dial, and
+AQE skew-split bounds hot buckets.
 """
 from __future__ import annotations
 
@@ -17,7 +23,9 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 8
+N_PLANES = 16
+N_BANDS = 2
+BAND_BITS = N_PLANES // N_BANDS
 DIM = 64
 
 
@@ -34,6 +42,7 @@ def _planes() -> np.ndarray:
             vals[p, i] = 1.0 if state % 2 == 0 else -1.0
     return vals
 
+
 PLANES = _planes()
 
 
@@ -41,38 +50,51 @@ def _plane_array_sql(p: int) -> str:
     return "[" + ", ".join(f"{v:.1f}" for v in PLANES[p]) + "]"
 
 
-def _spark_bucket_expr() -> str:
+def _spark_band_expr(band: int) -> str:
     bits = []
-    for p in range(N_PLANES):
+    for j in range(BAND_BITS):
+        p = band * BAND_BITS + j
         arr = "array(" + ", ".join(f"{v:.1f}D" for v in PLANES[p]) + ")"
         dot = f"aggregate(zip_with(e, {arr}, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
-        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(bits)
+        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
-def _duck_bucket_expr() -> str:
+def _duck_band_expr(band: int) -> str:
     bits = []
-    for p in range(N_PLANES):
+    for j in range(BAND_BITS):
+        p = band * BAND_BITS + j
         dot = f"list_dot_product(e, {_plane_array_sql(p)}::DOUBLE[])"
-        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(bits)
+        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 def ann_lsh_topk(emb: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
-    """(q_id, rk, neighbor_id) — exact cosine rerank within LSH bucket."""
-    base = emb.selectExpr(
-        "vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e"
-    ).selectExpr(
-        "vec_id", "e",
-        f"CAST({_spark_bucket_expr()} AS BIGINT) AS bucket",
-        "sqrt(aggregate(e, 0.0D, (acc, v) -> acc + v * v)) AS nrm",
+    """(q_id, rk, neighbor_id) — exact cosine rerank over multi-band LSH
+    candidates (any shared band bucket)."""
+    band_arr = "array(" + ", ".join(
+        _spark_band_expr(b) for b in range(N_BANDS)
+    ) + ")"
+    flat = (
+        emb.selectExpr("vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e")
+        .selectExpr(
+            "vec_id", "e",
+            "sqrt(aggregate(e, 0.0D, (acc, v) -> acc + v * v)) AS nrm",
+            f"posexplode({band_arr}) AS (band, bkey)",
+        )
     )
-    q = base.where(f"vec_id % {query_mod} = 0").selectExpr(
-        "vec_id AS q_id", "e AS qe", "nrm AS qn", "bucket"
+    q = flat.where(f"vec_id % {query_mod} = 0").selectExpr(
+        "band", "bkey", "vec_id AS q_id", "e AS qe", "nrm AS qn"
     )
-    scored = base.join(F.broadcast(q), "bucket").where("vec_id <> q_id").selectExpr(
+    cand = (
+        flat.join(q, ["band", "bkey"])
+        .where("vec_id <> q_id")
+        .dropDuplicates(["q_id", "vec_id"])  # pair may share both bands
+    )
+    scored = cand.selectExpr(
         "q_id", "vec_id",
-        "aggregate(zip_with(e, qe, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v) / (nrm * qn) AS cos_sim",
+        "aggregate(zip_with(e, qe, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
+        " / (nrm * qn) AS cos_sim",
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -83,23 +105,29 @@ def ann_lsh_topk(emb: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
 
 
 def ann_lsh_oracle_sql(query_mod: int = 100, k: int = 5) -> str:
+    flat_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, e, nrm, {b} AS band, {_duck_band_expr(b)} AS bkey FROM bucketed"
+        for b in range(N_BANDS)
+    )
     return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), bucketed AS (
-  SELECT vec_id, e,
-         CAST({_duck_bucket_expr()} AS BIGINT) AS bucket,
-         sqrt(list_dot_product(e, e)) AS nrm
-  FROM base
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM base
+), flat AS (
+{flat_rows}
 ), q AS (
-  SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket
-  FROM bucketed WHERE vec_id % {query_mod} = 0
+  SELECT band, bkey, vec_id AS q_id, e AS qe, nrm AS qn
+  FROM flat WHERE vec_id % {query_mod} = 0
+), cand AS (
+  SELECT DISTINCT f.vec_id, f.e, f.nrm, q.q_id, q.qe, q.qn
+  FROM flat f JOIN q USING (band, bkey)
+  WHERE f.vec_id <> q.q_id
 )
 SELECT q_id,
        CAST(row_number() OVER (PARTITION BY q_id
             ORDER BY list_dot_product(e, qe) / (nrm * qn) DESC, vec_id) AS INT) AS rk,
        vec_id AS neighbor_id
-FROM bucketed JOIN q USING (bucket)
-WHERE vec_id <> q_id
+FROM cand
 QUALIFY rk <= {k}
 """

@@ -77,25 +77,31 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs: (doc_a, doc_b, n_shared_bands)."""
+    """Candidate near-dup pairs: (doc_a, doc_b, n_shared_bands).
+
+    Single-pass plan: all band keys are emitted from ONE select
+    (posexplode), buckets are formed by one groupBy, and pairs are expanded
+    inside each bucket — the signature subtree executes exactly once,
+    versus the naive per-band-union self-join that re-runs the
+    explode + 16-min-agg tree 2x per band (8x here). Bucket pair expansion
+    is quadratic per bucket by definition of LSH; at 100 TB a bucket-size
+    cap (drop/flag buckets > ~10^4 members, they are near-identical spam
+    clusters anyway) bounds the blowup."""
     sigs = minhash_signatures(docs)
-    bands = None
-    for band in range(N_BANDS):
-        b = sigs.selectExpr(
-            "doc_id", f"{band} AS band", f"{_band_key_sql(band)} AS bkey"
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    a = bands.alias("a")
-    bb = bands.alias("b")
-    return (
-        a.join(
-            bb,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    band_arr = "array(" + ", ".join(_band_key_sql(b) for b in range(N_BANDS)) + ")"
+    bands = sigs.selectExpr("doc_id", f"posexplode({band_arr}) AS (band, bkey)")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = buckets.selectExpr(
+        "inline(flatten(transform(sequence(0, size(ids) - 2), "
+        "i -> transform(sequence(i + 1, size(ids) - 1), "
+        "j -> struct(element_at(ids, i + 1) AS doc_a, element_at(ids, j + 1) AS doc_b)))))"
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 

@@ -1,0 +1,157 @@
+"""Geometry kernels G2/G3/G5/G7: ear-clip triangulation, prism extrusion,
+polyline->buffered-polygon, triangle normals.
+
+Pure-numpy reimplementations of the reference's geometry stages —
+triangulation (/root/reference/py3dtilers/Common/polygon_extrusion.py:86 via
+the `triangle`/earcut libs), prism extrusion
+(/root/reference/py3dtilers/GeojsonTiler/geojson.py:246-334 and
+Common/polygon_extrusion.py:68-100), line buffering
+(GeojsonTiler/lineBuffer.py:14-74, shapely parallel_offset + miter joins),
+and face normals (Common/obj_writer.py:58-68, one cross product per face).
+
+Spark surface: each kernel runs inside ``applyInPandas`` over a ring-vertex
+table grouped by feature id — vertices of one ring are tiny (<10^2 rows), so
+a ring never spans partitions and the group shuffle is the only data motion.
+Outputs are integer invariants (triangle counts, doubled areas — exact for
+integer vertex coordinates) so a DuckDB oracle can verify them closed-form.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def ear_clip(ring: np.ndarray) -> np.ndarray:
+    """Triangulate a simple polygon (CCW exterior ring, no closing vertex)
+    by ear clipping. Returns (n-2, 3) int32 vertex-index triples.
+
+    Mirrors the reference's earcut stage semantics (n-2 triangles, area
+    preserved); the algorithm is the classic O(n^2) ear test — convex corner
+    whose triangle contains no other vertex.
+    """
+    n = len(ring)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int32)
+    idx = list(range(n))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 2 * n * n:
+        guard += 1
+        m = len(idx)
+        for k in range(m):
+            i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            a, b, c = ring[i0], ring[i1], ring[i2]
+            # convex corner of a CCW ring: left turn
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= 0:
+                continue
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others and _any_point_in_tri(ring[others], a, b, c):
+                continue
+            tris.append((i0, i1, i2))
+            del idx[k]
+            break
+        else:
+            break  # no ear found (degenerate input): stop
+    tris.append(tuple(idx[:3]))
+    return np.asarray(tris, dtype=np.int32)
+
+
+def _any_point_in_tri(pts: np.ndarray, a, b, c) -> bool:
+    """True if any point is strictly inside (or on the boundary of) tri abc."""
+    d1 = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0])
+    d2 = (c[0] - b[0]) * (pts[:, 1] - b[1]) - (c[1] - b[1]) * (pts[:, 0] - b[0])
+    d3 = (a[0] - c[0]) * (pts[:, 1] - c[1]) - (a[1] - c[1]) * (pts[:, 0] - c[0])
+    return bool(np.any((d1 >= 0) & (d2 >= 0) & (d3 >= 0)))
+
+
+def tri_doubled_areas(ring: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """|cross| per triangle = 2x area; exact for integer coords (float64
+    products of <2^26 ints are exact)."""
+    a = ring[tris[:, 0]]
+    b = ring[tris[:, 1]]
+    c = ring[tris[:, 2]]
+    return np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    )
+
+
+def prism_extrude(ring: np.ndarray, z0: float, z1: float) -> np.ndarray:
+    """Extrude a CCW 2-D ring into a closed prism (the reference's LOD1 /
+    extruded-polygon shape, geojson.py:246-334). Returns (T, 3, 3) float64
+    triangles: top cap (ear-clipped, +z normals), bottom cap (reversed
+    winding, -z), and two triangles per side quad, outward-facing.
+    """
+    n = len(ring)
+    caps = ear_clip(ring)
+    tris = []
+    top = np.column_stack([ring, np.full(n, float(z1))])
+    bot = np.column_stack([ring, np.full(n, float(z0))])
+    for i0, i1, i2 in caps:
+        tris.append([top[i0], top[i1], top[i2]])           # CCW seen from +z
+        tris.append([bot[i0], bot[i2], bot[i1]])           # reversed: faces -z
+    for i in range(n):
+        j = (i + 1) % n
+        # CCW ring -> outward side normal = edge dir rotated -90deg
+        tris.append([bot[i], bot[j], top[j]])
+        tris.append([bot[i], top[j], top[i]])
+    return np.asarray(tris, dtype=np.float64)
+
+
+def triangle_normals(tris: np.ndarray):
+    """Face normals + doubled areas of (T, 3, 3) triangles — the vectorized
+    form of the reference's per-face cross product (obj_writer.py:58-68).
+
+    Returns (unit_normals (T,3) — zero rows for degenerate faces,
+    doubled_areas (T,)).
+    """
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    cr = np.cross(e1, e2)
+    dbl = np.sqrt((cr * cr).sum(axis=1))
+    unit = np.zeros_like(cr)
+    nz = dbl > 0
+    unit[nz] = cr[nz] / dbl[nz, None]
+    return unit, dbl
+
+
+def buffer_polyline(points: np.ndarray, width: float) -> np.ndarray:
+    """Polyline -> buffered polygon ring (the reference's LineBuffer,
+    lineBuffer.py:14-74): flat caps, miter joins at width/2 per side.
+
+    points: (N, 2); returns (<=2N, 2) ring — left offsets forward then right
+    offsets backward. Collinear joins fall back to the shared offset point
+    (the reference drops the NaN miter of parallel segments).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    off = width / 2.0
+    d = pts[1:] - pts[:-1]                      # (n-1, 2) segment vectors
+    ln = np.sqrt((d * d).sum(axis=1))
+    u = d / ln[:, None]
+    nrm = np.column_stack([-u[:, 1], u[:, 0]])  # left normal per segment
+    left = []
+    right = []
+    left.append(pts[0] + nrm[0] * off)
+    right.append(pts[0] - nrm[0] * off)
+    for i in range(n - 2):
+        for sign, out in ((1.0, left), (-1.0, right)):
+            p1 = pts[i] + sign * nrm[i] * off
+            p2 = pts[i + 1] + sign * nrm[i + 1] * off
+            cross = u[i][0] * u[i + 1][1] - u[i][1] * u[i + 1][0]
+            if abs(cross) < 1e-12:              # collinear: offsets coincide
+                out.append(p2)
+                continue
+            # miter: intersect the two offset lines
+            t = ((p2 - p1)[0] * u[i + 1][1] - (p2 - p1)[1] * u[i + 1][0]) / cross
+            out.append(p1 + u[i] * t)
+    left.append(pts[-1] + nrm[-1] * off)
+    right.append(pts[-1] - nrm[-1] * off)
+    return np.asarray(left + right[::-1], dtype=np.float64)
+
+
+def ring_doubled_area(ring: np.ndarray) -> float:
+    """Shoelace |sum|: doubled polygon area (exact for integer coords)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(abs(np.sum(x * y2 - x2 * y)))

@@ -109,10 +109,22 @@ def manifest(tree_df: DataFrame) -> dict:
 
     def node(tid: str) -> dict:
         r = rows[tid]
+        cx = (r["xmin"] + r["xmax"]) / 2.0
+        cy = (r["ymin"] + r["ymax"]) / 2.0
+        cz = (r["zmin"] + r["zmax"]) / 2.0
+        hx = (r["xmax"] - r["xmin"]) / 2.0
+        hy = (r["ymax"] - r["ymin"]) / 2.0
+        hz = (r["zmax"] - r["zmin"]) / 2.0
         return {
             "boundingVolume": {
-                "box": [r["xmin"], r["ymin"], r["zmin"], r["xmax"], r["ymax"], r["zmax"]]
+                # 3D Tiles spec box: center + three half-axis vectors (the
+                # 12-number form py3dtiles emits for the reference)
+                "box": [cx, cy, cz, hx, 0.0, 0.0, 0.0, hy, 0.0, 0.0, 0.0, hz],
             },
+            # engine-internal min/max sextuple (merge + tests read this)
+            "bboxMinMax": [
+                r["xmin"], r["ymin"], r["zmin"], r["xmax"], r["ymax"], r["zmax"]
+            ],
             "geometricError": r["geometric_error"],
             "refine": "ADD",
             "tile_id": tid,

@@ -27,15 +27,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.spatial import grid_cell, points_in_polygon, ring_bbox_cells
+from ..functions.spatial import (
+    grid_cell,
+    morton_key,
+    points_in_polygon,
+    ring_bbox_cells,
+    ring_bbox_cells_morton,
+)
 
 
-def pip_assign_rect(features: DataFrame, rects: DataFrame) -> DataFrame:
+def pip_assign_rect(
+    features: DataFrame, rects: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Rectangle fast path: broadcast range join, first match wins.
 
     rects: (polygon_id int, xmin, ymin, xmax, ymax). Returns
-    (image_id, polygon_id nullable) — null = contained by no polygon.
+    (image_id, *carry, polygon_id nullable) — null = contained by no polygon.
     Pure built-in ops: stays entirely in whole-stage codegen.
+
+    carry: extra feature columns threaded through the aggregation (they are
+    functionally dependent on image_id) so downstream consumers don't need
+    an N-row join back to the feature table.
     """
     cond = (
         (features["x"] >= rects["xmin"])
@@ -45,7 +57,7 @@ def pip_assign_rect(features: DataFrame, rects: DataFrame) -> DataFrame:
     )
     return (
         features.join(F.broadcast(rects), cond, "left")
-        .groupBy("image_id")
+        .groupBy("image_id", *carry)
         .agg(F.min("polygon_id").alias("polygon_id"))
     )
 
@@ -54,25 +66,36 @@ def pip_assign_rings(
     features: DataFrame,
     rings: list[np.ndarray],
     cell_size: float = 1250.0,
+    key_scheme: str = "morton",
 ) -> DataFrame:
     """General-polygon path: cell-cover prefilter + exact ray-cast verify.
 
     rings: list of (M, 2) numpy exterior rings, index = polygon_id (order =
     first-match priority). Returns (image_id, polygon_id nullable).
+
+    key_scheme "morton" (default) keys the prefilter equi-join with the
+    batched Z-order cell encoding (functions/spatial.morton_key — the
+    north rule's H3/S2-style index); "grid" uses the flat codegen-only cell.
+    At scale the cover side is a broadcast dim either way; features never
+    shuffle, and skewed (dense-urban) cells split under AQE on the equi-join.
     """
     spark = features.sparkSession
+    cover_fn = ring_bbox_cells_morton if key_scheme == "morton" else ring_bbox_cells
     cover_rows = [
         (int(pid), int(cell))
         for pid, ring in enumerate(rings)
-        for cell in ring_bbox_cells(ring, cell_size)
+        for cell in cover_fn(ring, cell_size)
     ]
     cover = spark.createDataFrame(cover_rows, "polygon_id int, cell bigint")
     ring_bc = spark.sparkContext.broadcast([r.tolist() for r in rings])
 
+    key = (
+        morton_key(F.col("x"), F.col("y"), cell_size)
+        if key_scheme == "morton"
+        else grid_cell(F.col("x"), F.col("y"), cell_size)
+    )
     cand = (
-        features.select(
-            "image_id", "x", "y", grid_cell(F.col("x"), F.col("y"), cell_size).alias("cell")
-        )
+        features.select("image_id", "x", "y", key.alias("cell"))
         .join(F.broadcast(cover), "cell")
         .select("image_id", "x", "y", "polygon_id")
     )

@@ -1,0 +1,200 @@
+"""Temporal city-graph subsystem (S7/J6/J7/U6/A10/O4/H6/H7).
+
+DataFrame re-expression of the reference's object graph
+(/root/reference/py3dtilers/CityTiler/temporal_graph.py:9-1112 and
+CityTemporalTiler.py:94-279): nodes are building versions identified by
+``globalid = '<year>::<local gml id>'``; edges carry change tags
+(unchanged / modified / re-ided / subdivided / fused).
+
+The reference holds the whole graph as linked Python objects on one thread;
+here every stage is a join/aggregation over two DataFrames —
+
+  nodes(file_id, local_id, gid)      edges(file_id, edge_id, src, dst, tags)
+
+so a continent-scale, century-deep graph shards like any other table:
+- reconciliation (J7)  = min-file dedupe on gid + broadcast id->gid remap
+  (temporal_graph.py:525-583 extend_with_subgraph)
+- duplicate edges (U6) = groupBy (src_gid, dst_gid) keep-first
+  (temporal_graph.py:912-937)
+- lineage collapse (H6 stage 1) = iterative label propagation over 1-to-1
+  unchanged/re-ided chains — T-1 converging joins for T time stamps
+  (temporal_graph.py:995-1010), each a hash join on gid
+- transactions (H7)    = a projection of the simplified edge set
+  (CityTemporalTiler.py:125-142)
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COLLAPSIBLE = ("unchanged", "re-ided")
+
+
+def read_temporal_graphs(spark: SparkSession, paths: list[str]):
+    """S7: scan GraphML-JSON files (the 3DUse ChangeDetection output format,
+    graph_<y1>-<y2>.json) into (nodes, edges) DataFrames. file_id = the
+    position of the path in `paths` (the reference blends files in CLI
+    order, temporal_graph.py:868-907)."""
+    nodes = None
+    edges = None
+    for i, p in enumerate(paths):
+        raw = spark.read.option("multiLine", "true").json(p)
+        n = raw.select(F.explode("nodes").alias("n")).selectExpr(
+            f"CAST({i} AS BIGINT) AS file_id",
+            "CAST(n.id AS BIGINT) AS local_id",  # boost::ptree writes ints as strings
+            "n.globalid AS gid",
+        )
+        e = raw.select(F.explode("edges").alias("e")).selectExpr(
+            f"CAST({i} AS BIGINT) AS file_id",
+            "CAST(e.id AS BIGINT) AS edge_id",
+            "CAST(e.source AS BIGINT) AS src",
+            "CAST(e.target AS BIGINT) AS dst",
+            "e.tags AS tags",
+        )
+        nodes = n if nodes is None else nodes.unionByName(n)
+        edges = e if edges is None else edges.unionByName(e)
+    return nodes, edges
+
+
+def node_year(gid_col="gid"):
+    """Time stamp parsed from the global id (temporal_graph.py:217-218)."""
+    return F.split(F.col(gid_col), "::").getItem(0).cast("bigint")
+
+
+def node_local(gid_col="gid"):
+    return F.split(F.col(gid_col), "::").getItem(1)
+
+
+def reconcile_nodes(nodes: DataFrame) -> DataFrame:
+    """J7: blend per-file node sets — one canonical node per globalid, the
+    lowest file wins, later files' local ids retained as the trace count
+    (the reference's file_ids string, temporal_graph.py:525-556)."""
+    return nodes.groupBy("gid").agg(
+        F.min("file_id").alias("first_file"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+
+
+def resolve_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Rewire integer (file-local) edge endpoints to global ids — the
+    distributed form of edge.set_ancestor(find_node_from_id(...))
+    (temporal_graph.py:893-901). Two hash joins on (file_id, local_id)."""
+    src_map = nodes.selectExpr("file_id", "local_id AS src", "gid AS src_gid")
+    dst_map = nodes.selectExpr("file_id", "local_id AS dst", "gid AS dst_gid")
+    return (
+        edges.join(src_map, ["file_id", "src"])
+        .join(dst_map, ["file_id", "dst"])
+        .select("file_id", "edge_id", "src_gid", "dst_gid", "tags")
+    )
+
+
+def dedup_edges(resolved: DataFrame) -> DataFrame:
+    """U6: duplicate-edge removal — first (lowest file, lowest id) edge per
+    (ancestor gid, descendant gid) survives (temporal_graph.py:912-937
+    keeps the first-seen descendant edge per node)."""
+    return resolved.groupBy("src_gid", "dst_gid").agg(
+        F.min(F.struct("file_id", "edge_id", "tags")).alias("k")
+    ).select(
+        "src_gid", "dst_gid",
+        F.col("k.file_id").alias("file_id"),
+        F.col("k.edge_id").alias("edge_id"),
+        F.col("k.tags").alias("tags"),
+    )
+
+
+def edge_type_counts(resolved: DataFrame) -> DataFrame:
+    """A10: per-tag edge counts (display_characteristics,
+    temporal_graph.py:774-801)."""
+    return resolved.groupBy("tags").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+def timestamps(nodes_rec: DataFrame) -> DataFrame:
+    """O4: the ordered distinct time stamps + node count per stamp
+    (extract_time_stamps, temporal_graph.py:851-861)."""
+    return (
+        nodes_rec.select(node_year().alias("ts"))
+        .groupBy("ts")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def collapse_lineages(nodes_rec: DataFrame, edges_d: DataFrame) -> DataFrame:
+    """H6 (simplify stage 1): collapse chains of one-to-one
+    unchanged/re-ided edges into single lineage intervals
+    (temporal_graph.py:995-1010). Keeps the most recent node of each chain
+    (the reference deletes ancestors), with start date inherited from the
+    chain head.
+
+    Distributed shape: eligible edges = tag-filtered edges whose ancestor
+    has out-degree 1 AND descendant in-degree 1 (over ALL edges); then
+    label-propagation along chains — one hash join per time step, with the
+    frontier halving-style convergence bounded by the number of time stamps
+    (3DUse graphs span decades: tens of iterations at most, each a plain
+    equi-join; no driver-side graph object ever exists).
+    """
+    out_deg = edges_d.groupBy("src_gid").agg(F.count(F.lit(1)).alias("od"))
+    in_deg = edges_d.groupBy("dst_gid").agg(F.count(F.lit(1)).alias("id_"))
+    e11 = (
+        edges_d.where(F.col("tags").isin(*COLLAPSIBLE))
+        .join(out_deg, "src_gid")
+        .join(in_deg, "dst_gid")
+        .where("od = 1 AND id_ = 1")
+        .select("src_gid", "dst_gid")
+        # consumed by the heads anti-join + every propagation step: pin it
+        # once (this is the iterative-join idiom closure.py uses too)
+        .localCheckpoint(eager=True)
+    )
+    e_step = e11.selectExpr("src_gid AS cur", "dst_gid AS nxt")
+    # chain heads: sources that are not a destination of any eligible edge
+    heads = e11.select("src_gid").join(
+        e11.selectExpr("dst_gid AS src_gid"), "src_gid", "left_anti"
+    ).selectExpr("src_gid AS root", "src_gid AS cur", "CAST(1 AS BIGINT) AS n")
+    frontier = heads
+    closed = None
+    while True:
+        step = frontier.join(e_step, "cur", "left").select(
+            "root",
+            F.coalesce(F.col("nxt"), F.col("cur")).alias("cur"),
+            (F.col("n") + F.when(F.col("nxt").isNull(), 0).otherwise(1)).alias("n"),
+            F.col("nxt").isNull().alias("done"),
+        )
+        step = step.localCheckpoint(eager=True)
+        fin = step.where("done").drop("done")
+        closed = fin if closed is None else closed.unionByName(fin)
+        frontier = step.where("NOT done").drop("done")
+        if frontier.isEmpty():
+            break
+    singles = (
+        nodes_rec.select("gid")
+        .join(e11.selectExpr("src_gid AS gid"), "gid", "left_anti")
+        .join(e11.selectExpr("dst_gid AS gid"), "gid", "left_anti")
+        .selectExpr("gid AS root", "gid AS cur", "CAST(1 AS BIGINT) AS n")
+    )
+    all_chains = closed.unionByName(singles) if closed is not None else singles
+    return all_chains.select(
+        F.col("cur").alias("gid"),  # surviving (most recent) node
+        node_year("root").alias("start_year"),
+        node_year("cur").alias("end_year"),
+        F.col("n").alias("chain_len"),
+    )
+
+
+def transactions(edges_d: DataFrame) -> DataFrame:
+    """H7: modified one-to-one edges become 'modification' transactions
+    spanning [ancestor year, descendant year]
+    (CityTemporalTiler.py:125-142)."""
+    out_deg = edges_d.groupBy("src_gid").agg(F.count(F.lit(1)).alias("od"))
+    in_deg = edges_d.groupBy("dst_gid").agg(F.count(F.lit(1)).alias("id_"))
+    return (
+        edges_d.where(F.col("tags") == "modified")
+        .join(out_deg, "src_gid")
+        .join(in_deg, "dst_gid")
+        .where("od = 1 AND id_ = 1")
+        .select(
+            F.col("src_gid").alias("source"),
+            F.col("dst_gid").alias("destination"),
+            F.lit("modification").alias("tx_type"),
+            node_year("src_gid").alias("start_year"),
+            node_year("dst_gid").alias("end_year"),
+        )
+    )

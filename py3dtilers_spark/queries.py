@@ -215,8 +215,8 @@ WHERE NOT EXISTS (
 
 def q_groups_cube(spark, sf_dir):
     feats = _feats(spark, sf_dir)
-    assign = pip_assign_rect(feats, polygons_df(spark))
-    fg = feats.join(assign, "image_id").withColumn(
+    # h2 rides the PIP aggregation (carry) — no N-row join back to features
+    fg = pip_assign_rect(feats, polygons_df(spark), carry=("h2",)).withColumn(
         "group_key",
         F.when(
             F.col("polygon_id").isNotNull(),
@@ -350,7 +350,8 @@ def q_knn(spark, sf_dir):
         f"CAST(floor((x - 1843000.0) / {_KNN_CELL}) AS BIGINT) AS gx",
         f"CAST(floor((y - 5173000.0) / {_KNN_CELL}) AS BIGINT) AS gy",
         "h2",
-    )
+    ).persist()  # consumed by BOTH join sides — avoids re-running the
+    # feature-derivation groupBy for probe and candidate branches
     queries = feats.where("h2 % 601 = 0").selectExpr(
         "image_id AS q_id", "x AS qx", "y AS qy", "gx AS qgx", "gy AS qgy"
     )
@@ -408,10 +409,18 @@ FROM documents GROUP BY 1
 """
 
 
+_JACCARD_DF_CAP = 10_000  # drop shingles appearing in more docs (stopword
+# phrases): caps per-shingle pair expansion at cap^2 — without it one hot
+# shingle in 10^8 docs is a 10^16-pair self-join. Applied identically in the
+# oracle, so parity holds by construction (no-op at sandbox scale).
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs: explode word 3-gram sets, equi-join on
-    shingle, |A intersect B| / |A union B| >= 0.5. Shuffle key = shingle (the
-    classic inverted-index join — no cross join anywhere)."""
+    """n-gram Jaccard near-dup pairs: explode word 3-gram sets, bucket by
+    shingle (the inverted index), expand pairs within buckets,
+    |A intersect B| / |A union B| >= 0.5. ONE pass over the shingle explode
+    for the pair side (groupBy + in-bucket expansion, no self-join that
+    recomputes the explode) and a document-frequency cap on hot shingles."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
@@ -427,11 +436,18 @@ def q_ngram_jaccard(spark, sf_dir):
         ).alias("sh"),
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    buckets = (
+        shingles.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= F.lit(_JACCARD_DF_CAP)))
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.selectExpr(
+            "inline(flatten(transform(sequence(0, size(ids) - 2), "
+            "i -> transform(sequence(i + 1, size(ids) - 1), "
+            "j -> struct(element_at(ids, i + 1) AS doc_a, element_at(ids, j + 1) AS doc_b)))))"
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a")
@@ -457,6 +473,7 @@ WITH toks AS (
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.sh IN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 10000)
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter,
@@ -892,3 +909,16 @@ def _register_extra():
 
 
 _register_extra()
+
+
+def _register_geo():
+    from . import queries_geo, queries_temporal
+
+    queries_geo.register(QUERIES)
+    queries_temporal.register(QUERIES)
+    # kd_tiles now has a real oracle: the reference recursion unrolled into
+    # level-by-level window splits DuckDB can evaluate (queries_geo.kd_oracle_sql)
+    QUERIES["kd_tiles"] = (q_kd_tiles, queries_geo.kd_oracle_sql())
+
+
+_register_geo()

@@ -69,11 +69,21 @@ def tiles_to_features(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(explode_tiles, schema=FEATURE_OUT_SCHEMA)
 
 
+def _reprefix(node: dict, prefix: str) -> dict:
+    """Rewrite every node's tile_id with the source prefix so manifest ids
+    keep resolving against the re-prefixed tiles table after a merge."""
+    out = dict(node)
+    out["tile_id"] = prefix + node.get("tile_id", "")
+    out["children"] = [_reprefix(c, prefix) for c in node.get("children", [])]
+    return out
+
+
 def merge_tilesets(spark: SparkSession, out_dirs: list[str], merged_dir: str) -> DataFrame:
     """Union tile tables under a fresh root: tile ids re-prefixed by source
     index (collision-free, like the merger's texture renaming,
-    TilesetMerger.py:60-87); manifests nested under a new root whose bbox
-    and geometric error dominate all children."""
+    TilesetMerger.py:60-87) in BOTH the tiles table and every manifest
+    subtree node; the new root's bbox and geometric error dominate all
+    children."""
     parts = []
     manifests = []
     for i, d in enumerate(out_dirs):
@@ -88,18 +98,26 @@ def merge_tilesets(spark: SparkSession, out_dirs: list[str], merged_dir: str) ->
     os.makedirs(merged_dir, exist_ok=True)
     merged.write.mode("overwrite").parquet(os.path.join(merged_dir, "tiles"))
 
-    roots = [m["root"] for m in manifests]
-    boxes = [r["boundingVolume"]["box"] for r in roots if r]
+    roots = [
+        _reprefix(m["root"], f"t{i}/") for i, m in enumerate(manifests) if m["root"]
+    ]
+    boxes = [r["bboxMinMax"] for r in roots]
     union_box = [
         min(b[0] for b in boxes), min(b[1] for b in boxes), min(b[2] for b in boxes),
         max(b[3] for b in boxes), max(b[4] for b in boxes), max(b[5] for b in boxes),
     ]
+    ctr = [(union_box[i] + union_box[i + 3]) / 2.0 for i in range(3)]
+    half = [(union_box[i + 3] - union_box[i]) / 2.0 for i in range(3)]
     root_ge = max(m["geometricError"] for m in manifests)
     manifest = {
         "asset": {"version": "1.0", "generator": "py3dtilers_spark"},
         "geometricError": root_ge * 2.0,
         "root": {
-            "boundingVolume": {"box": union_box},
+            "boundingVolume": {
+                "box": [ctr[0], ctr[1], ctr[2],
+                        half[0], 0.0, 0.0, 0.0, half[1], 0.0, 0.0, 0.0, half[2]],
+            },
+            "bboxMinMax": union_box,
             "geometricError": root_ge * 2.0,
             "refine": "ADD",
             "tile_id": "",

@@ -1,0 +1,115 @@
+"""Geometry kernels G2/G3/G5/G7 + real b3dm/GLB round-trip (S5/K1/G11)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from py3dtilers_spark.operators.geometry import (
+    buffer_polyline,
+    ear_clip,
+    prism_extrude,
+    ring_doubled_area,
+    tri_doubled_areas,
+    triangle_normals,
+)
+from py3dtilers_spark.sources.b3dm_io import (
+    decode_b3dm,
+    decode_glb,
+    encode_b3dm,
+    encode_glb,
+)
+
+
+def test_earclip_concave_area_preserved():
+    # non-convex U shape (8 vertices, CCW)
+    ring = np.array(
+        [[0, 0], [30, 0], [30, 20], [20, 20], [20, 5], [10, 5], [10, 20], [0, 20]],
+        dtype=np.float64,
+    )
+    tris = ear_clip(ring)
+    assert len(tris) == len(ring) - 2
+    shoelace = ring_doubled_area(ring)
+    assert tri_doubled_areas(ring, tris).sum() == shoelace
+
+
+def test_prism_closed_surface_normals_cancel():
+    ring = np.array([[0, 0], [20, 0], [20, 10], [5, 10], [5, 25], [0, 25]], float)
+    tris = prism_extrude(ring, 2.0, 32.0)
+    unit, dbl = triangle_normals(tris)
+    # area-weighted normal sum of a CLOSED surface is zero
+    assert np.allclose((unit * dbl[:, None]).sum(axis=0), 0.0, atol=1e-9)
+    # outward orientation: top triangles face +z, bottom -z
+    top = tris[:, :, 2].min(axis=1) == 32.0
+    bot = tris[:, :, 2].max(axis=1) == 2.0
+    assert np.all(unit[top][:, 2] > 0.99)
+    assert np.all(unit[bot][:, 2] < -0.99)
+
+
+def test_buffer_polyline_miter():
+    # right-angle staircase, width 4: miter corners at offset intersections
+    ring = buffer_polyline(np.array([[0, 0], [10, 0], [10, 10]], float), 4.0)
+    assert len(ring) == 6
+    # hand-computed union of the two mitered strips:
+    # x in [0,12] x y in [-2,2] (48) + x in [8,12] x y in [2,10] (32)
+    assert ring_doubled_area(ring) / 2 == 80
+    # collinear mid-point: no miter blow-up, offsets pass straight through
+    ring2 = buffer_polyline(np.array([[0, 0], [5, 0], [12, 0]], float), 2.0)
+    assert ring_doubled_area(ring2) / 2 == 12 * 2
+
+
+def test_glb_roundtrip():
+    rng = np.random.default_rng(7)
+    pos = rng.normal(size=(12, 3)).astype(np.float32)
+    bid = np.repeat(np.arange(4, dtype=np.float32), 3)
+    blob = encode_glb(pos, bid)
+    assert blob[:4] == b"glTF"
+    pos2, bid2 = decode_glb(blob)
+    assert np.array_equal(pos, pos2) and np.array_equal(bid, bid2)
+
+
+def test_b3dm_roundtrip_spark(spark):
+    """Per-tile b3dm encode in an Arrow batch -> read back -> exact feature
+    equality (the reference's write->read cycle, tests/test_tilesetReader.py)."""
+    ring = np.array([[0, 0], [20, 0], [20, 10], [5, 10], [5, 25], [0, 25]], float)
+    tiles = []
+    for t in range(4):
+        tris = prism_extrude(ring + t * 40.0, 0.0, 10.0 + t)
+        pos = tris.reshape(-1, 3).astype(np.float32)
+        bid = np.zeros(len(pos), dtype=np.float32)
+        tiles.append(("tile_%d" % t, pos, bid))
+
+    pdf = pd.DataFrame(
+        {
+            "tile_id": [t[0] for t in tiles],
+            "b3dm": [
+                encode_b3dm(p, b, {"ids": [tid]}) for tid, p, b in tiles
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def verify(batches):
+        for b in batches:
+            ok = []
+            for tid, blob in zip(b["tile_id"], b["b3dm"]):
+                pos, bid, ft, bt = decode_b3dm(bytes(blob))
+                ok.append(
+                    ft["BATCH_LENGTH"] == 1
+                    and bt["ids"] == [tid]
+                    and len(pos) == 60  # 20 triangles x 3 vertices
+                )
+            yield pd.DataFrame({"tile_id": b["tile_id"], "ok": ok})
+
+    out = df.mapInPandas(verify, "tile_id string, ok boolean").toPandas()
+    assert out["ok"].all() and len(out) == 4
+    # byte-exact vertex recovery
+    pos2, bid2, _, _ = decode_b3dm(bytes(pdf["b3dm"][2]))
+    assert np.array_equal(pos2, tiles[2][1])
+
+
+@pytest.mark.parametrize("n", [3, 4, 7])
+def test_earclip_regular_polygons(n):
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.column_stack([np.cos(ang), np.sin(ang)])
+    tris = ear_clip(ring)
+    assert len(tris) == n - 2
+    assert np.isclose(tri_doubled_areas(ring, tris).sum(), ring_doubled_area(ring))

@@ -51,7 +51,12 @@ def test_manifest_shape(spark, sf_smoke):
     def walk(n, parent_ge):
         assert n["geometricError"] < parent_ge
         box = n["boundingVolume"]["box"]
-        assert box[0] <= box[3] and box[1] <= box[4] and box[2] <= box[5]
+        # spec 12-number box: center + axis-aligned half-axis vectors
+        assert len(box) == 12
+        assert box[3] >= 0 and box[7] >= 0 and box[11] >= 0
+        mm = n["bboxMinMax"]
+        assert mm[0] <= mm[3] and mm[1] <= mm[4] and mm[2] <= mm[5]
+        assert box[0] == (mm[0] + mm[3]) / 2.0 and box[3] == (mm[3] - mm[0]) / 2.0
         for c in n["children"]:
             walk(c, n["geometricError"])
 

@@ -61,3 +61,28 @@ def test_obj_roundtrip(spark, sf_smoke, tmp_path):
     with open(p) as fh:
         lines = fh.readlines()
     assert sum(1 for ln in lines if ln.startswith("f ")) == n_leaves * 12
+
+
+def test_vertical_hierarchy_levels(spark, sf_smoke):
+    """H2: N whole tilesets chained fine -> coarse (lod_tree.py:45-54)."""
+    from py3dtilers_spark.operators.hierarchy import tile_stats
+    from py3dtilers_spark.operators.lod import vertical_hierarchy
+
+    fine = tile_stats(_tiled(spark, sf_smoke))
+    coarse = tile_stats(
+        kd_assign(
+            features_df(spark, sf_smoke).select("image_id", "x", "y", "z"),
+            kd_tree_max=2000,
+        )
+    )
+    vh = vertical_hierarchy([fine, coarse])
+    rows = vh.collect()
+    assert {r["level_idx"] for r in rows} == {0, 1}
+    assert all(r["n_levels"] == 2 for r in rows)
+    ge0 = {r["geometric_error"] for r in rows if r["level_idx"] == 0}
+    ge1 = {r["geometric_error"] for r in rows if r["level_idx"] == 1}
+    assert ge0 == {GE_LEAF} and ge1 == {GE_LOD1}
+    # each level is a complete tileset: feature counts both sum to the total
+    n0 = sum(r["n_features"] for r in rows if r["level_idx"] == 0)
+    n1 = sum(r["n_features"] for r in rows if r["level_idx"] == 1)
+    assert n0 == n1 > 0

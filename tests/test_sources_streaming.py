@@ -98,6 +98,17 @@ def test_tileset_roundtrip_and_merge(spark, sf_smoke, tmp_path):
     for child in m["root"]["children"]:
         assert child["geometricError"] < m["geometricError"]
 
+    # every manifest tile_id must resolve against the merged tiles table
+    # (merge re-prefixes BOTH sides)
+    def leaf_ids(n):
+        if not n["children"]:
+            return {n["tile_id"]}
+        return set().union(*(leaf_ids(c) for c in n["children"]))
+
+    table_ids = {r["tile_id"] for r in merged.select("tile_id").collect()}
+    manifest_leaves = leaf_ids(m["root"])
+    assert manifest_leaves == table_ids
+
 
 def test_streaming_matches_batch(spark, sf_smoke):
     stream_out = run_stream_to_memory(spark, sf_smoke, name="ev_smoke").toPandas()
