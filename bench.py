@@ -33,10 +33,15 @@ from py3dtilers_spark.queries import QUERIES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # N vs 4N cores for the scaling pair ("two cluster sizes" proxy). N defaults
-# to 4 so the 4N run still has machine headroom and the parallel fraction
-# dominates the fixed driver cost at sandbox data sizes.
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
+# to 2: measured host behavior (BENCH/BASELINE.md) is clean scaling up to
+# ~8 concurrent workers and degradation beyond (the 32-vCPU Firecracker VM
+# effectively delivers ~8-12 cores; a 16-core Spark job also doubles thread
+# demand with its JVM side), so (2, 8) is the pair where the JOB's scaling
+# shape is measurable rather than the host's ceiling.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+# 6 copies (~3.6M rows) keeps the parallel phase >=95% of the lo run, so
+# fixed driver work (sample collect, manifest, session) can't mask scaling
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "6"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 KD_MAX = int(os.environ.get("SPARK_GRAFT_SCALE_KD_MAX", "500"))
 
@@ -138,14 +143,18 @@ def main() -> None:
     )
 
     n_rows = materialize_input(input_path)
-    calib = _machine_calibration(n_lo, n_hi)
 
     pairs = []
+    calibs = []
     for i in range(SCALE_PAIRS):
+        # adjacent calibration: what the host delivers N -> 4N procs in THIS
+        # time window (the VM is shared and non-stationary)
+        calibs.append(_machine_calibration(n_lo, n_hi))
         lo = scaling_run(n_lo, input_path, out_root, n_rows)
         hi = scaling_run(n_hi, input_path, out_root, n_rows)
         eff = (lo["sec"] / hi["sec"]) / (n_hi / n_lo)
         pairs.append({"lo": lo, "hi": hi, "eff": round(eff, 3)})
+    calib = calibs[len(calibs) // 2]
 
     effs = [p["eff"] for p in pairs]
     med_eff = statistics.median(effs)
@@ -193,6 +202,7 @@ def main() -> None:
             "efficiency": round(med_eff, 3),
             "efficiency_pairs": effs,
             "machine_calibration": calib,
+            "machine_calibration_pairs": [c["machine_efficiency"] for c in calibs],
             "timings_lo": rep["lo"].get("timings", {}),
             "timings_hi": rep["hi"].get("timings", {}),
         },

@@ -145,6 +145,27 @@ def decode(blob: bytes) -> np.ndarray:
     raise ValueError(f"unknown image magic {magic!r}")
 
 
+def decode_into(blob: bytes, out: np.ndarray) -> None:
+    """Decode straight into a destination view (an atlas window): no
+    per-member image array is ever allocated — decompress, zero-copy
+    frombuffer view, dequantize through a reused uint16 scratch (the
+    round-to-nearest quantizer emits 64 for inputs >= 254, so *4 must go
+    through a wider dtype + cap). On ballooned-memory hosts the avoided
+    per-member allocations are the encode hot path's largest traffic term."""
+    magic, (w, h) = blob[:4], struct.unpack("<HH", blob[4:8])
+    body = np.frombuffer(zlib.decompress(blob[8:]), dtype=np.uint8).reshape(h, w, 3)
+    if magic == MAGIC_RAW:
+        np.copyto(out, body)
+        return
+    if magic != MAGIC_QNT:
+        raise ValueError(f"unknown image magic {magic!r}")
+    b16 = _scratch("dec16", body.shape, np.uint16)
+    np.copyto(b16, body)  # widen FIRST: a uint8 multiply loop would wrap at q=64
+    b16 *= _QSTEP
+    np.minimum(b16, 255, out=b16)
+    np.copyto(out, b16, casting="unsafe")
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

@@ -68,6 +68,58 @@ def morton_parent(key: Column, levels: int = 1) -> Column:
     return F.shiftright(key, 2 * levels)
 
 
+def wkb_encode_point(x: float, y: float) -> bytes:
+    """Little-endian WKB Point (G8 fixture side)."""
+    import struct
+
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def wkb_encode_polygon(rings: list[np.ndarray]) -> bytes:
+    """Little-endian WKB Polygon from (M, 2) rings (closed or open; closing
+    vertex appended if missing)."""
+    import struct
+
+    out = [struct.pack("<BII", 1, 3, len(rings))]
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        out.append(struct.pack("<I", len(r)))
+        out.append(np.ascontiguousarray(r).tobytes())
+    return b"".join(out)
+
+
+def wkb_decode_points(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """G8: vectorized WKB Point decode — ONE frombuffer over the
+    concatenated fixed-width blobs (21 bytes each), not per-row struct
+    unpacking. Returns (x, y) arrays."""
+    buf = b"".join(bytes(b) for b in blobs)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 21)
+    if not (arr[:, 0] == 1).all():
+        raise ValueError("big-endian WKB not supported")
+    xy = arr[:, 5:].copy().view(np.float64).reshape(-1, 2)
+    return xy[:, 0], xy[:, 1]
+
+
+def wkb_decode_polygon(blob: bytes) -> list[np.ndarray]:
+    """G8: WKB Polygon decode; each ring via one frombuffer slice."""
+    import struct
+
+    order, gtype, n_rings = struct.unpack_from("<BII", blob, 0)
+    if order != 1 or gtype != 3:
+        raise ValueError("expected little-endian WKB Polygon")
+    off = 9
+    rings = []
+    for _ in range(n_rings):
+        (m,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        ring = np.frombuffer(blob, dtype=np.float64, count=m * 2, offset=off)
+        rings.append(ring.reshape(-1, 2))
+        off += m * 16
+    return rings
+
+
 def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray cast: bool mask of points inside one ring.
 

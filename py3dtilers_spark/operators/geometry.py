@@ -57,11 +57,107 @@ def ear_clip(ring: np.ndarray) -> np.ndarray:
 
 
 def _any_point_in_tri(pts: np.ndarray, a, b, c) -> bool:
-    """True if any point is strictly inside (or on the boundary of) tri abc."""
+    """True if any point is strictly inside (or on the boundary of) tri abc.
+    Points exactly coinciding with a corner (bridge duplicates from the
+    holes path) do not block the ear."""
     d1 = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0])
     d2 = (c[0] - b[0]) * (pts[:, 1] - b[1]) - (c[1] - b[1]) * (pts[:, 0] - b[0])
     d3 = (a[0] - c[0]) * (pts[:, 1] - c[1]) - (a[1] - c[1]) * (pts[:, 0] - c[0])
-    return bool(np.any((d1 >= 0) & (d2 >= 0) & (d3 >= 0)))
+    corner = (
+        ((pts[:, 0] == a[0]) & (pts[:, 1] == a[1]))
+        | ((pts[:, 0] == b[0]) & (pts[:, 1] == b[1]))
+        | ((pts[:, 0] == c[0]) & (pts[:, 1] == c[1]))
+    )
+    return bool(np.any((d1 >= 0) & (d2 >= 0) & (d3 >= 0) & ~corner))
+
+
+def _signed_area2(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y2 - x2 * y))
+
+
+def _segments_cross(p1, p2, q1, q2) -> bool:
+    """Proper intersection test (shared endpoints do not count)."""
+
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    d1 = orient(q1, q2, p1)
+    d2 = orient(q1, q2, p2)
+    d3 = orient(p1, p2, q1)
+    d4 = orient(p1, p2, q2)
+    # STRICT straddling both ways: touching (any zero orientation, e.g. a
+    # shared endpoint) is not a proper crossing
+    return ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and (
+        (d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)
+    )
+
+
+def ear_clip_with_holes(ring: np.ndarray, holes: list[np.ndarray]) -> np.ndarray:
+    """G1: triangulate a polygon with interior holes (the reference feeds
+    vertices + hole markers to the `triangle` library, geojson.py:182-244;
+    here each hole is bridged into the exterior ring — the earcut linking
+    strategy — then the plain ear clip runs). ring CCW, holes any
+    orientation. Returns (T, 2) vertex COORDS triangles as (T, 3, 2)."""
+    merged = [tuple(p) for p in np.asarray(ring, dtype=np.float64)]
+    for hole in sorted(
+        holes, key=lambda h: -float(np.max(np.asarray(h)[:, 0]))
+    ):
+        hole = np.asarray(hole, dtype=np.float64)
+        if _signed_area2(hole) > 0:
+            hole = hole[::-1]  # holes run CW inside a CCW exterior
+        j = int(np.argmax(hole[:, 0]))
+        hp = hole[j]
+        # bridge anchor: a crossing-free merged vertex, RIGHTWARD candidates
+        # first (the earcut +x-ray linking rule) — a leftward bridge from the
+        # hole's rightmost vertex can run collinearly through other hole
+        # corners and stall the ear scan
+        order = sorted(
+            range(len(merged)),
+            key=lambda i: (
+                merged[i][0] < hp[0],
+                (merged[i][0] - hp[0]) ** 2 + (merged[i][1] - hp[1]) ** 2,
+            ),
+        )
+        pick = None
+        for i in order:
+            mp = merged[i]
+            ok = True
+            for k in range(len(merged)):
+                a, b = merged[k], merged[(k + 1) % len(merged)]
+                if _segments_cross(hp, mp, a, b):
+                    ok = False
+                    break
+            if ok:
+                for k in range(len(hole)):
+                    a, b = hole[k], hole[(k + 1) % len(hole)]
+                    if _segments_cross(hp, mp, tuple(a), tuple(b)):
+                        ok = False
+                        break
+            if ok:
+                pick = i
+                break
+        if pick is None:  # degenerate input: skip the hole
+            continue
+        rolled = [tuple(p) for p in np.roll(hole, -j, axis=0)]
+        merged = (
+            merged[: pick + 1] + rolled + [rolled[0]] + [merged[pick]] + merged[pick + 1 :]
+        )
+    mring = np.asarray(merged, dtype=np.float64)
+    tris = ear_clip(mring)
+    return mring[tris]
+
+
+def strip_triangles(length: int) -> np.ndarray:
+    """G6: index triples of the reference's custom strip triangulation for
+    buffered-line polygons (geojson.py:48-63): the ring's first half is one
+    rail, the mirrored second half the other. Returns (2*(L//2-1), 3)."""
+    tris = []
+    for i in range(length // 2 - 1):
+        tris.append((i, length - 1 - i, i + 1))
+        tris.append((i + 1, length - 1 - i, length - 2 - i))
+    return np.asarray(tris, dtype=np.int32)
 
 
 def tri_doubled_areas(ring: np.ndarray, tris: np.ndarray) -> np.ndarray:

@@ -46,7 +46,17 @@ def tile_tree(tiled: DataFrame) -> DataFrame:
     (tile_id, parent_id, level, is_leaf, geometric_error, n_features,
     xmin..zmax). Root has tile_id '' and parent_id null.
     """
-    leaves = tile_stats(tiled).withColumn("is_leaf", F.lit(True))
+    return tile_tree_from_stats(tile_stats(tiled))
+
+
+def tile_tree_from_stats(leaf_stats: DataFrame) -> DataFrame:
+    """Tree roll-up from PRE-AGGREGATED leaf stats (tile_id, n_features,
+    xmin..zmax) — e.g. the bbox columns the tile encoder emits. Input is
+    O(#tiles), so the whole hierarchy costs one tiny explode+agg."""
+    leaves = leaf_stats.select(
+        "tile_id", "n_features",
+        "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+    ).withColumn("is_leaf", F.lit(True))
 
     # every prefix of the path, including '' (root); '' for the leaf itself
     # is excluded because the leaf row carries is_leaf=True already

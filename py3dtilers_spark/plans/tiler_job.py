@@ -29,13 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data.features import features_df
-from ..functions.imaging import _scratch, decode, encode, shelf_pack
-from ..operators.hierarchy import tile_tree, write_manifest
+from ..functions.imaging import _scratch, decode_into, encode, shelf_pack
+from ..operators.hierarchy import tile_tree, tile_tree_from_stats, write_manifest
 from ..operators.kd_tree import kd_assign, kd_sample_walk
 
 ENCODED_SCHEMA = (
     "tile_id string, n_features bigint, atlas binary, atlas_w int, atlas_h int,"
-    " batch_json string, checksum string"
+    " batch_json string, checksum string,"
+    " xmin double, xmax double, ymin double, ymax double, zmin double, zmax double"
 )
 
 
@@ -50,15 +51,17 @@ def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     a tile's textures are atlased together."""
     pdf = pdf.sort_values("image_id", kind="mergesort").reset_index(drop=True)
     tile_id = pdf["tile_id"].iloc[0]
-    imgs = [decode(bytes(b)) for b in pdf["bytes"]]
-    sizes = [(im.shape[1], im.shape[0]) for im in imgs]
+    # sizes come from the row columns, so members decode DIRECTLY into their
+    # atlas window (decode_into): no per-member image array ever exists —
+    # halves the hot path's memory traffic vs decode-then-paste
+    sizes = list(zip(pdf["w"].astype(int), pdf["h"].astype(int)))
     atlas_w = 1024
     pos, atlas_h = shelf_pack(sizes, atlas_w)
     # reused per-worker buffer: avoids faulting fresh pages per tile
     atlas = _scratch("atlas", (atlas_h, atlas_w, 3), np.uint8)
     atlas.fill(0)
-    for (px, py), im in zip(pos, imgs):
-        atlas[py : py + im.shape[0], px : px + im.shape[1]] = im
+    for (px, py), (w, h), b in zip(pos, sizes, pdf["bytes"]):
+        decode_into(bytes(b), atlas[py : py + h, px : px + w])
     # lossless fidelity invariant (BASELINE.json input_hint): a png (lossless)
     # member must round-trip byte-exact no matter what tile it lands in, so
     # the atlas is stored lossless whenever ANY member is png. jpg members
@@ -76,6 +79,9 @@ def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     for iid, cap in zip(pdf["image_id"], pdf["caption"]):
         h.update(iid.encode())
         h.update(cap.encode())
+    # per-tile bounding volume computed IN the encode pass (columns ride the
+    # one payload shuffle): the hierarchy then rolls up from these leaf stats
+    # with no second source scan — the tree phase becomes O(#tiles)
     return pd.DataFrame(
         [
             {
@@ -86,6 +92,12 @@ def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
                 "atlas_h": int(atlas_h),
                 "batch_json": json.dumps(batch),
                 "checksum": h.hexdigest(),
+                "xmin": float(pdf["x"].min()),
+                "xmax": float(pdf["x"].max()),
+                "ymin": float(pdf["y"].min()),
+                "ymax": float(pdf["y"].max()),
+                "zmin": float(pdf["z"].min()),
+                "zmax": float(pdf["z"].max()),
             }
         ]
     )
@@ -255,16 +267,25 @@ def run_tiler(
     tiles_dir = os.path.join(out_dir, "tiles")
     lineage_dir = os.path.join(out_dir, "lineage")
 
-    # the tree is tiny (~2x leaf count rows) and consumed three times
-    # (leaf count, root stats, manifest collect) — materialize it once
-    t0 = _t()
-    tree = tile_tree(tree_src.select("tile_id", "x", "y", "z")).localCheckpoint(eager=True)
-    n_leaves = tree.where("is_leaf").count()
-    n_features = tree.where("tile_id = ''").collect()[0]["n_features"]
-    timings["tree"] = _t() - t0
+    # In the scale path with payload, the tile encoder emits per-tile bbox
+    # stats, so the hierarchy rolls up from the written tiles (O(#tiles))
+    # and no second source scan exists. The exact/parity path (and the
+    # payload-less run) still derives the tree from the assignment rows.
+    tree = None
+    deferred_tree = (not exact) and with_payload
+    if not deferred_tree:
+        # the tree is tiny (~2x leaf count rows) and consumed three times
+        # (leaf count, root stats, manifest collect) — materialize it once
+        t0 = _t()
+        tree = tile_tree(tree_src.select("tile_id", "x", "y", "z")).localCheckpoint(
+            eager=True
+        )
+        timings["tree"] = _t() - t0
 
     if with_payload:
-        payload_cols = ["tile_id", "image_id", "w", "h", "fmt", "caption", "phash"]
+        payload_cols = [
+            "tile_id", "image_id", "x", "y", "z", "w", "h", "fmt", "caption", "phash"
+        ]
         if payload_source == "column":
             payload_cols.append("bytes")
         todo = assigned.select(*payload_cols)
@@ -296,7 +317,13 @@ def run_tiler(
             if payload_source == "column"
             else encode_tiles_from_slim(pre)
         )
-        encoded.write.mode("append").parquet(tiles_dir)
+        # atlas blobs are already entropy-coded (zlib) — parquet snappy on
+        # top is pure JVM CPU for ~0 ratio; uncompressed halves the write
+        # path's CPU demand (matters when executor JVM threads contend with
+        # the Python workers for the same cores)
+        encoded.write.mode("append").option("compression", "uncompressed").parquet(
+            tiles_dir
+        )
         timings["encode_write"] = _t() - t0
         t0 = _t()
         # parquet column pruning: the heavy atlas column is never read. The
@@ -306,7 +333,8 @@ def run_tiler(
         mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
         try:
-            lineage = spark.read.parquet(tiles_dir).select(
+            tiles_meta = spark.read.parquet(tiles_dir)
+            lineage = tiles_meta.select(
                 F.lit(run_id).alias("run_id"),
                 F.col("tile_id").alias("cell_id"),
                 F.col("n_features").alias("row_count"),
@@ -314,11 +342,17 @@ def run_tiler(
                 F.current_timestamp().alias("completed_at"),
             )
             lineage.write.mode("overwrite").parquet(lineage_dir)
+            timings["lineage"] = _t() - t0
+            if deferred_tree:
+                t0 = _t()
+                tree = tile_tree_from_stats(tiles_meta).localCheckpoint(eager=True)
+                timings["tree"] = _t() - t0
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
-        timings["lineage"] = _t() - t0
 
     t0 = _t()
+    n_leaves = tree.where("is_leaf").count()
+    n_features = tree.where("tile_id = ''").collect()[0]["n_features"]
     os.makedirs(out_dir, exist_ok=True)
     write_manifest(tree, os.path.join(out_dir, "tileset.json"))
     timings["manifest"] = _t() - t0

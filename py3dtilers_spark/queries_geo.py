@@ -451,6 +451,108 @@ FROM ring_params
 
 
 # ---------------------------------------------------------------------------
+# A7 extrusion z-stats: per 1 km cube cell, building-height statistics
+# (reference geojson.py:98-120 derives heights from z attributes; min/max
+# are order-safe aggregates, the sum goes through the integer hash digit)
+
+def q_zstats(spark, sf_dir):
+    return (
+        _feats(spark, sf_dir)
+        .selectExpr(
+            "rint(x / 1000.0) * 1000.0 AS cube_x",
+            "rint(y / 1000.0) * 1000.0 AS cube_y",
+            "z",
+            "(h2 * 16807) % 1000 AS hz",
+        )
+        .groupBy("cube_x", "cube_y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("zmin"),
+            F.max("z").alias("zmax"),
+            F.sum("hz").alias("sum_hz"),
+        )
+    )
+
+
+def zstats_oracle_sql() -> str:
+    return oracle_prelude() + """
+SELECT round_even(x / 1000.0, 0) * 1000.0 AS cube_x,
+       round_even(y / 1000.0, 0) * 1000.0 AS cube_y,
+       count(*) AS n, min(z) AS zmin, max(z) AS zmax,
+       CAST(sum((h2 * 16807) % 1000) AS BIGINT) AS sum_hz
+FROM features GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 gml-id lookup join: broadcast dimension keyed by gml id (the reference's
+# CityTiler building-id -> database-id resolution, citym_cityobject.py)
+
+def q_gml_lookup(spark, sf_dir):
+    feats = _feats(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "'GML_' || CAST(p_partkey AS STRING) AS gml_id", "p_size"
+    )
+    return (
+        feats.join(F.broadcast(part), feats["l_partkey"] == part["p_partkey"])
+        .where("p_size >= 48")
+        .select("image_id", "gml_id", "p_size")
+    )
+
+
+def gml_lookup_oracle_sql() -> str:
+    return oracle_prelude() + """
+SELECT f.image_id, 'GML_' || CAST(p.p_partkey AS STRING) AS gml_id, p.p_size
+FROM features f JOIN part p ON f.l_partkey = p.p_partkey
+WHERE p.p_size >= 48
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 atlas pow2 size estimate: per polygon group, the reference's
+# multipleOf2(sqrt(sum of texture areas)) (Texture/atlas.py:41-66) —
+# integer-exact via a powers-of-two join (no float log2 at the boundary)
+
+def q_atlas_pow2(spark, sf_dir):
+    from .data.features import polygons_df
+    from .operators.pip_join import pip_assign_rect
+
+    feats = _feats(spark, sf_dir)
+    areas = (
+        pip_assign_rect(feats, polygons_df(spark), carry=("w", "h"))
+        .where("polygon_id IS NOT NULL")
+        .groupBy("polygon_id")
+        .agg(F.sum(F.expr("CAST(w AS BIGINT) * CAST(h AS BIGINT)")).alias("area"))
+    )
+    pows = spark.range(24).selectExpr("CAST(pow(2, id) AS BIGINT) AS side")
+    return (
+        areas.join(F.broadcast(pows), F.expr("side * side >= area"))
+        .groupBy("polygon_id", "area")
+        .agg(F.min("side").alias("atlas_side"))
+        .select("polygon_id", "area", "atlas_side")
+    )
+
+
+def atlas_pow2_oracle_sql() -> str:
+    return oracle_prelude() + """
+, areas AS (
+  SELECT polygon_id, CAST(sum(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS BIGINT) AS area
+  FROM (
+    SELECT f.image_id, f.w, f.h, min(p.polygon_id) AS polygon_id
+    FROM features f
+    LEFT JOIN polygons p
+      ON f.x >= p.xmin AND f.x < p.xmax AND f.y >= p.ymin AND f.y < p.ymax
+    GROUP BY 1, 2, 3) t
+  WHERE polygon_id IS NOT NULL
+  GROUP BY 1
+), pows AS (SELECT CAST(power(2, i) AS BIGINT) AS side FROM grid64 WHERE i < 24)
+SELECT a.polygon_id, a.area, min(p.side) AS atlas_side
+FROM areas a JOIN pows p ON p.side * p.side >= a.area
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def register(queries: dict) -> None:
     queries.update(
@@ -465,5 +567,8 @@ def register(queries: dict) -> None:
             "prism_extrude": (q_extrude, extrude_oracle_sql()),
             "tri_normals": (q_normals, normals_oracle_sql()),
             "line_buffer": (q_line_buffer, line_buffer_oracle_sql()),
+            "zstats_cube": (q_zstats, zstats_oracle_sql()),
+            "gml_lookup_join": (q_gml_lookup, gml_lookup_oracle_sql()),
+            "atlas_pow2": (q_atlas_pow2, atlas_pow2_oracle_sql()),
         }
     )

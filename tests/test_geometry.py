@@ -113,3 +113,40 @@ def test_earclip_regular_polygons(n):
     tris = ear_clip(ring)
     assert len(tris) == n - 2
     assert np.isclose(tri_doubled_areas(ring, tris).sum(), ring_doubled_area(ring))
+
+
+def test_earclip_with_holes_area():
+    """G1: square with two square holes — triangulated area = outer - holes."""
+    from py3dtilers_spark.operators.geometry import ear_clip_with_holes
+
+    outer = np.array([[0, 0], [40, 0], [40, 40], [0, 40]], float)
+    h1 = np.array([[10, 10], [18, 10], [18, 18], [10, 18]], float)
+    h2c = np.array([[25, 22], [33, 22], [33, 30], [25, 30]], float)
+    tris = ear_clip_with_holes(outer, [h1, h2c])
+    # area via cross products of the emitted coordinate triangles
+    a = tris[:, 0]; b = tris[:, 1]; c = tris[:, 2]
+    area2 = np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    ).sum()
+    assert area2 / 2 == 40 * 40 - 8 * 8 - 8 * 8
+    # each bridge adds 2 duplicate vertices: n = 4 + (4+2) + (4+2) = 16 -> 14 tris
+    assert len(tris) == 14
+
+
+def test_strip_triangulation_indices():
+    """G6: the reference's custom strip triangulation (geojson.py:48-63)
+    over a buffered-line ring — full coverage, no overlaps (area check)."""
+    from py3dtilers_spark.operators.geometry import strip_triangles
+
+    line = np.array([[0, 0], [10, 0], [10, 10]], float)
+    ring = buffer_polyline(line, 4.0)
+    idx = strip_triangles(len(ring))
+    assert len(idx) == 2 * (len(ring) // 2 - 1)
+    tris = ring[idx]
+    a = tris[:, 0]; b = tris[:, 1]; c = tris[:, 2]
+    area2 = np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    ).sum()
+    assert area2 / 2 == ring_doubled_area(ring) / 2

@@ -27,7 +27,25 @@ def main() -> None:
     from py3dtilers_spark.plans.tiler_job import run_tiler
     from py3dtilers_spark.session import get_spark
 
-    spark = get_spark(f"scaling_c{cores}", cores=cores, shuffle_partitions=cores)
+    # the session default maxPartitionBytes (4 MB) is sized for the tiny
+    # sandbox testdata parquets; the materialized scaling input is GBs, and
+    # 4 MB splits would fan the byte-carrying scan into ~1000 tasks whose
+    # per-task Python-UDF round-trip overhead swamps the real work. 256 MB
+    # keeps one split per input file (the production default regime).
+    spark = get_spark(
+        f"scaling_c{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
+            # payload bytes are pre-compressed (zlib member blobs): lz4-ing
+            # the shuffle again burns JVM cycles that contend with the
+            # Python encode workers for the same physical cores
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        },
+    )
     feats = spark.read.parquet(input_path)
     t0 = time.time()
     stats = run_tiler(
