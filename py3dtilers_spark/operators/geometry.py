@@ -246,6 +246,127 @@ def buffer_polyline(points: np.ndarray, width: float) -> np.ndarray:
     return np.asarray(left + right[::-1], dtype=np.float64)
 
 
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull, CCW without closing vertex —
+    the reference's footprint extraction for ExtrudedPolygon is
+    ``alphashape(points, 0.)`` (alpha = 0 == convex hull,
+    polygon_extrusion.py:40-60)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)  # lex sort
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def delaunay(points: np.ndarray) -> np.ndarray:
+    """Bowyer-Watson Delaunay triangulation (pure numpy, O(n^2)) —
+    sufficient for per-feature footprints (tens to hundreds of points per
+    applyInPandas group; never a whole-table driver op). Returns (T, 3)
+    int32 indices into `points`."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int32)
+    # super-triangle: far enough that no real circumcircle (even of the
+    # long slivers between distant clusters) reaches a super vertex
+    c = pts.mean(axis=0)
+    r = np.max(np.hypot(*(pts - c).T)) * 1000 + 1.0
+    aug = np.vstack(
+        [pts, c + [0, 2 * r], c + [-1.8 * r, -r], c + [1.8 * r, -r]]
+    )
+    tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
+    for i in range(n):
+        p = aug[i]
+        bad = []
+        for t_idx, (a, b, cc) in enumerate(tris):
+            if _in_circumcircle(aug[a], aug[b], aug[cc], p):
+                bad.append(t_idx)
+        # boundary polygon of the bad region = edges appearing once
+        edge_count: dict[tuple[int, int], int] = {}
+        for t_idx in bad:
+            a, b, cc = tris[t_idx]
+            for e in ((a, b), (b, cc), (cc, a)):
+                key = (min(e), max(e))
+                edge_count[key] = edge_count.get(key, 0) + 1
+        for t_idx in sorted(bad, reverse=True):
+            del tris[t_idx]
+        for (a, b), cnt in edge_count.items():
+            if cnt == 1:
+                # orient CCW with the new point
+                cross = (aug[b][0] - aug[a][0]) * (p[1] - aug[a][1]) - (
+                    aug[b][1] - aug[a][1]
+                ) * (p[0] - aug[a][0])
+                tris.append((a, b, i) if cross > 0 else (b, a, i))
+    out = [t for t in tris if max(t) < n]
+    return np.asarray(out, dtype=np.int32) if out else np.empty((0, 3), np.int32)
+
+
+def _in_circumcircle(a, b, c, p) -> bool:
+    """p strictly inside the circumcircle of CCW triangle abc (sign-safe
+    for CW input via the orientation factor)."""
+    m = np.array(
+        [
+            [a[0] - p[0], a[1] - p[1], (a[0] - p[0]) ** 2 + (a[1] - p[1]) ** 2],
+            [b[0] - p[0], b[1] - p[1], (b[0] - p[0]) ** 2 + (b[1] - p[1]) ** 2],
+            [c[0] - p[0], c[1] - p[1], (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2],
+        ]
+    )
+    det = np.linalg.det(m)
+    orient = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    return bool(det * np.sign(orient) > 1e-12)
+
+
+def alpha_shape_edges(points: np.ndarray, alpha: float) -> np.ndarray:
+    """G4 general path: boundary edges of the alpha complex (Delaunay
+    triangles with circumradius < 1/alpha); alpha == 0 degenerates to the
+    convex hull boundary, matching the `alphashape` library contract the
+    reference calls. Returns (E, 2) index pairs."""
+    pts = np.asarray(points, dtype=np.float64)
+    tris = delaunay(pts)
+    if len(tris) == 0:
+        return np.empty((0, 2), dtype=np.int32)
+    keep = []
+    for a, b, c in tris:
+        if alpha <= 0:
+            keep.append((a, b, c))
+            continue
+        ra = _circumradius(pts[a], pts[b], pts[c])
+        if ra < 1.0 / alpha:
+            keep.append((a, b, c))
+    edge_count: dict[tuple[int, int], int] = {}
+    for a, b, c in keep:
+        for e in ((a, b), (b, c), (c, a)):
+            key = (min(e), max(e))
+            edge_count[key] = edge_count.get(key, 0) + 1
+    return np.asarray(
+        [e for e, cnt in edge_count.items() if cnt == 1], dtype=np.int32
+    )
+
+
+def _circumradius(a, b, c) -> float:
+    la = np.hypot(*(b - c))
+    lb = np.hypot(*(a - c))
+    lc = np.hypot(*(a - b))
+    area2 = abs((b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]))
+    if area2 == 0:
+        return float("inf")
+    return la * lb * lc / (2.0 * area2)
+
+
 def ring_doubled_area(ring: np.ndarray) -> float:
     """Shoelace |sum|: doubled polygon area (exact for integer coords)."""
     x, y = ring[:, 0], ring[:, 1]

@@ -60,6 +60,109 @@ def read_obj(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def read_obj_mesh(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Full OBJ mesh scan (S2): v/vt/vn/f lines -> one row per triangle
+    corner, with position + optional uv + optional normal resolved by
+    per-file index joins. n-gon faces are fan-triangulated (what pywavefront
+    hands the reference pre-triangulated, ObjTiler/obj.py:60-120; the
+    reference's 8 interleaved vertex formats are the cross product of
+    {uv, color, normal} presence — here presence is per-column nullability).
+
+    Corner refs support the 'v', 'v/t', 'v//n' and 'v/t/n' OBJ spellings
+    (positive indices). Output: (file, obj_name, face_id, tri, corner,
+    px, py, pz, u, v, nx, ny, nz).
+    """
+    rdd = spark.sparkContext.wholeTextFiles(path_glob)
+    raw = spark.createDataFrame(rdd, "file string, content string")
+    lines = (
+        raw.select("file", F.posexplode(F.split("content", "\n")).alias("pos", "line"))
+        .withColumn("line", F.trim("line"))
+    )
+    w = (
+        Window.partitionBy("file")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = lines.withColumn(
+        "obj_name",
+        F.coalesce(
+            F.last(
+                F.when(F.col("line").rlike("^[og] "), F.expr("substring(line, 3)")),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("default"),
+        ),
+    )
+
+    def _indexed(prefix: str, tag: str, ncoord: int, names: list[str]) -> DataFrame:
+        wn = Window.partitionBy("file").orderBy("pos")
+        d = tagged.where(F.col("line").rlike(f"^{prefix} ")).withColumn(
+            "idx", F.row_number().over(wn)  # OBJ indices are 1-based per file
+        )
+        cols = [
+            F.expr(f"CAST(split(line, ' +')[{i + 1}] AS DOUBLE)").alias(names[i])
+            for i in range(ncoord)
+        ]
+        # keys renamed per table: the face and index tables share lineage
+        # (same scan), so unrenamed keys would be ambiguous self-join refs
+        return d.select(
+            F.col("file").alias(f"{tag}_file"), F.col("idx").alias(f"{tag}_idx"), *cols
+        )
+
+    verts = _indexed("v", "v", 3, ["px", "py", "pz"])
+    uvs = _indexed("vt", "t", 2, ["u", "v"])
+    norms = _indexed("vn", "n", 3, ["nx", "ny", "nz"])
+
+    faces = (
+        tagged.where(F.col("line").rlike("^f "))
+        .select(
+            "file", "obj_name", "pos",
+            F.expr("slice(split(line, ' +'), 2, 1000)").alias("refs"),
+        )
+        .where(F.size("refs") >= 3)
+        # fan triangulation: (0, i, i+1)
+        .select(
+            "file", "obj_name", F.col("pos").alias("face_id"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(refs) - 2),"
+                    " i -> array(refs[0], refs[i], refs[i + 1]))"
+                )
+            ).alias("tri", "corner_refs"),
+        )
+        .select(
+            "file", "obj_name", "face_id", "tri",
+            F.posexplode("corner_refs").alias("corner", "ref"),
+        )
+        .select(
+            "file", "obj_name", "face_id", "tri", "corner",
+            F.expr("CAST(split(ref, '/')[0] AS INT)").alias("vi"),
+            F.expr("CAST(nullif(try_element_at(split(ref, '/'), 2), '') AS INT)").alias("ti"),
+            F.expr("CAST(nullif(try_element_at(split(ref, '/'), 3), '') AS INT)").alias("ni"),
+        )
+    )
+    out = (
+        faces.join(
+            verts,
+            (F.col("file") == F.col("v_file")) & (F.col("vi") == F.col("v_idx")),
+        )
+        .join(
+            uvs,
+            (F.col("file") == F.col("t_file")) & (F.col("ti") == F.col("t_idx")),
+            "left",
+        )
+        .join(
+            norms,
+            (F.col("file") == F.col("n_file")) & (F.col("ni") == F.col("n_idx")),
+            "left",
+        )
+    )
+    return out.select(
+        "file", "obj_name", "face_id", "tri", "corner",
+        "px", "py", "pz", "u", "v", "nx", "ny", "nz",
+    )
+
+
 _BOX_CORNERS = [
     (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
     (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),

@@ -150,3 +150,43 @@ def test_strip_triangulation_indices():
         - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
     ).sum()
     assert area2 / 2 == ring_doubled_area(ring) / 2
+
+
+def test_convex_hull_footprint():
+    """G4 (alpha=0 path): the reference's alphashape(points, 0.) footprint
+    (polygon_extrusion.py:55) == convex hull."""
+    from py3dtilers_spark.operators.geometry import convex_hull
+
+    rng = np.random.default_rng(3)
+    inner = rng.uniform(1, 9, size=(200, 2))
+    corners = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hull = convex_hull(np.vstack([inner, corners]))
+    assert sorted(map(tuple, hull)) == sorted(map(tuple, corners))
+    assert ring_doubled_area(hull) / 2 == 100.0
+
+
+def test_delaunay_and_alpha_shape():
+    """G4 (alpha>0): Delaunay triangle count 2n-2-h; alpha boundary of a
+    two-cluster set splits into two loops while alpha=0 gives one hull."""
+    from py3dtilers_spark.operators.geometry import (
+        alpha_shape_edges,
+        convex_hull,
+        delaunay,
+    )
+
+    rng = np.random.default_rng(5)
+    c1 = rng.uniform(0, 10, size=(40, 2))
+    c2 = rng.uniform(100, 110, size=(40, 2)) 
+    pts = np.vstack([c1, c2])
+    tris = delaunay(pts)
+    h = len(convex_hull(pts))
+    assert len(tris) == 2 * len(pts) - 2 - h  # Euler: triangulation identity
+    # alpha=0: one connected hull boundary, edge count == hull size
+    e0 = alpha_shape_edges(pts, 0.0)
+    assert len(e0) == h
+    # alpha tuned to cluster scale: long cross-cluster triangles dropped ->
+    # more boundary edges than the single hull, none longer than ~cluster size
+    ea = alpha_shape_edges(pts, 1.0 / 12.0)
+    assert len(ea) > h
+    lens = np.hypot(*(pts[ea[:, 0]] - pts[ea[:, 1]]).T)
+    assert lens.max() < 25.0

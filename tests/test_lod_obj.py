@@ -86,3 +86,36 @@ def test_vertical_hierarchy_levels(spark, sf_smoke):
     n0 = sum(r["n_features"] for r in rows if r["level_idx"] == 0)
     n1 = sum(r["n_features"] for r in rows if r["level_idx"] == 1)
     assert n0 == n1 > 0
+
+
+def test_read_obj_mesh_full(spark, tmp_path):
+    """S2 full: v/vt/vn/f scan with quads, uv, normals, multiple objects."""
+    from py3dtilers_spark.sources.obj_io import read_obj_mesh
+
+    obj = "\n".join([
+        "o first",
+        "v 0 0 0", "v 1 0 0", "v 1 1 0", "v 0 1 0",
+        "vt 0 0", "vt 1 0", "vt 1 1", "vt 0 1",
+        "vn 0 0 1",
+        "f 1/1/1 2/2/1 3/3/1 4/4/1",   # quad -> 2 triangles
+        "o second",
+        "v 5 5 5", "v 6 5 5", "v 6 6 5",
+        "f 5 6 7",                      # bare v refs, no uv/normals
+    ])
+    p = tmp_path / "mesh.obj"
+    p.write_text(obj + "\n")
+    rows = read_obj_mesh(spark, str(p)).collect()
+    assert len(rows) == 9  # 2 tris * 3 + 1 tri * 3
+    first = [r for r in rows if r["obj_name"] == "first"]
+    second = [r for r in rows if r["obj_name"] == "second"]
+    assert len(first) == 6 and len(second) == 3
+    # quad fan: triangles (v1,v2,v3) and (v1,v3,v4)
+    t0 = sorted((r["px"], r["py"]) for r in first if r["tri"] == 0)
+    assert t0 == [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)]
+    t1 = sorted((r["px"], r["py"]) for r in first if r["tri"] == 1)
+    assert t1 == [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
+    # uv + normal resolved on first object, absent on second
+    assert all(r["u"] is not None and r["nz"] == 1.0 for r in first)
+    assert all(r["u"] is None and r["nz"] is None for r in second)
+    assert sorted((r["px"], r["py"], r["pz"]) for r in second) == [
+        (5.0, 5.0, 5.0), (6.0, 5.0, 5.0), (6.0, 6.0, 5.0)]
