@@ -104,6 +104,71 @@ def ann_lsh_topk(emb: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
     )
 
 
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.30) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH band blocking (any shared band
+    bucket) + exact cosine verify >= threshold. The all-pairs O(N^2) join
+    never exists — candidates come from the banded buckets, the exact dot
+    product reranks only those. Returns (vec_a, vec_b, n_shared_bands).
+
+    Recall is the standard banded-LSH curve (band bits vs similarity); at
+    10^12 rows the dial is more/narrower bands, same plan shape."""
+    band_arr = "array(" + ", ".join(
+        _spark_band_expr(b) for b in range(N_BANDS)
+    ) + ")"
+    flat = (
+        emb.selectExpr("vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e")
+        .selectExpr(
+            "vec_id", "e",
+            "sqrt(aggregate(e, 0.0D, (acc, v) -> acc + v * v)) AS nrm",
+            f"posexplode({band_arr}) AS (band, bkey)",
+        )
+    )
+    a = flat.selectExpr("band", "bkey", "vec_id AS vec_a", "e AS ea", "nrm AS na")
+    b = flat.selectExpr("band", "bkey", "vec_id AS vec_b", "e AS eb", "nrm AS nb")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where("vec_a < vec_b")
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first("ea").alias("ea"), F.first("na").alias("na"),
+            F.first("eb").alias("eb"), F.first("nb").alias("nb"),
+        )
+    )
+    return cand.where(
+        F.expr(
+            "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+            f" / (na * nb) >= {threshold}"
+        )
+    ).select("vec_a", "vec_b", "n_shared_bands")
+
+
+def embedding_dup_oracle_sql(threshold: float = 0.30) -> str:
+    flat_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, e, nrm, {b} AS band, {_duck_band_expr(b)} AS bkey FROM bucketed"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), bucketed AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM base
+), flat AS (
+{flat_rows}
+), cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS n_shared_bands,
+         any_value(a.e) AS ea, any_value(a.nrm) AS na,
+         any_value(b.e) AS eb, any_value(b.nrm) AS nb
+  FROM flat a JOIN flat b ON a.band = b.band AND a.bkey = b.bkey
+                         AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, n_shared_bands
+FROM cand
+WHERE list_dot_product(ea, eb) / (na * nb) >= {threshold}
+"""
+
+
 def ann_lsh_oracle_sql(query_mod: int = 100, k: int = 5) -> str:
     flat_rows = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, e, nrm, {b} AS band, {_duck_band_expr(b)} AS bkey FROM bucketed"

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..data.features import features_df
 from ..functions.imaging import _scratch, decode_into, encode, shelf_pack
-from ..operators.hierarchy import tile_tree, tile_tree_from_stats, write_manifest
+from ..operators.hierarchy import manifest, tile_tree, tile_tree_from_stats
 from ..operators.kd_tree import kd_assign, kd_sample_walk
 
 ENCODED_SCHEMA = (
@@ -333,7 +333,12 @@ def run_tiler(
         mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
         try:
-            tiles_meta = spark.read.parquet(tiles_dir)
+            # ONE pruned read of the tile metadata feeds both the lineage
+            # sink and the (deferred) tree roll-up
+            tiles_meta = spark.read.parquet(tiles_dir).select(
+                "tile_id", "n_features", "checksum",
+                "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+            ).localCheckpoint(eager=True)
             lineage = tiles_meta.select(
                 F.lit(run_id).alias("run_id"),
                 F.col("tile_id").alias("cell_id"),
@@ -351,10 +356,20 @@ def run_tiler(
             spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
 
     t0 = _t()
-    n_leaves = tree.where("is_leaf").count()
-    n_features = tree.where("tile_id = ''").collect()[0]["n_features"]
     os.makedirs(out_dir, exist_ok=True)
-    write_manifest(tree, os.path.join(out_dir, "tileset.json"))
+    # single collect: the manifest dict also answers the leaf/feature counts
+    # (three separate actions on the tiny tree still cost a job each)
+    m = manifest(tree)
+    with open(os.path.join(out_dir, "tileset.json"), "w") as fh:
+        json.dump(m, fh)
+
+    def _leaves(node) -> int:
+        if not node.get("children"):
+            return 1
+        return sum(_leaves(c) for c in node["children"])
+
+    n_leaves = _leaves(m["root"]) if m.get("root") else 0
+    n_features = m["root"].get("n_features", 0) if m.get("root") else 0
     timings["manifest"] = _t() - t0
     if payload_source != "column":
         base.unpersist()

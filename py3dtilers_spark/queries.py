@@ -49,7 +49,9 @@ def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_filter_keep_ids(spark, sf_dir):
     feats = _feats(spark, sf_dir)
-    # driver-side id list -> isin, the reference's keep_ids shape
+    # driver-side id list -> isin, the reference's keep_ids CLI shape (a
+    # user-supplied list, inherently small). A 10^9-row id SET would instead
+    # be a semi-join against an id table — that variant is `gml_lookup_join`.
     ids = [r["image_id"] for r in feats.where("l_orderkey % 500 = 0").select("image_id").collect()]
     return (
         feats.where(F.col("image_id").isin(ids))
@@ -653,6 +655,12 @@ def q_simhash(spark, sf_dir):
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+def q_embedding_dup(spark, sf_dir):
+    from .operators.ann import embedding_dup_pairs
+
+    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_ann_lsh(spark, sf_dir):
     from .operators.ann import ann_lsh_topk
 
@@ -889,11 +897,12 @@ QUERIES: dict[str, tuple] = {
 
 
 def _register_extra():
-    from .operators.ann import ann_lsh_oracle_sql
+    from .operators.ann import ann_lsh_oracle_sql, embedding_dup_oracle_sql
     from .operators.dedup import minhash_oracle_sql, simhash_oracle_sql
 
     QUERIES.update(
         {
+            "embedding_dup_pairs": (q_embedding_dup, embedding_dup_oracle_sql()),
             "minhash_lsh_pairs": (q_minhash_lsh, minhash_oracle_sql()),
             "simhash_signature": (q_simhash, simhash_oracle_sql()),
             "ann_lsh_topk": (q_ann_lsh, ann_lsh_oracle_sql()),

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from .data.features import FEATURES_CTE, load_table, oracle_prelude
+from .data.features import FEATURES_CTE, features_df, load_table, oracle_prelude
 from .data.triangles import triangle_rings, triangles_cte
 from .operators.geometry import (
     buffer_polyline,
@@ -24,7 +24,10 @@ from .operators.geometry import (
     triangle_normals,
 )
 from .operators.pip_join import pip_assign_rings
-from .queries import _feats
+
+
+def _feats(spark, sf_dir):
+    return features_df(spark, sf_dir)
 
 SPARK_GRID64 = "grid64 AS (SELECT id AS i FROM range(64))"
 
@@ -134,7 +137,9 @@ GROUP BY f.image_id
 # O1 kd tile assignment — DuckDB oracle as an UNROLLED level-by-level split
 # (the fixed-depth form of the reference recursion, kd_tree.py:4-42)
 
-def kd_oracle_sql(kd_tree_max: int = 500, levels: int = 10) -> str:
+def kd_oracle_sql(kd_tree_max: int = 500, levels: int = 12) -> str:
+    # levels = unrolled split depth; done-flag levels are no-ops, so 12
+    # covers any sf the gate might run (sf0.01 needs 7, sf0.1 needs 11)
     sql = oracle_prelude() + ",\nlvl0 AS (SELECT image_id, x, y, CAST('' AS VARCHAR) AS tile_id, false AS done FROM features)"
     for d in range(levels):
         axis = "x" if d % 2 == 0 else "y"

@@ -209,6 +209,10 @@ def write_obj_boxes(tree_leaves: DataFrame, path: str) -> int:
         .join(remap.withColumnRenamed("ci", "c").withColumnRenamed("vid", "vc"), ["tile_id", "c"])
         .select("tile_id", "ti", "va", "vb", "vc")
     )
+    # single-FILE text format: the final assembly necessarily serializes on
+    # one writer (exactly like the reference's ObjWriter). The dedup/remap
+    # above is distributed; for datasets beyond driver memory the writer
+    # would stream `toLocalIterator()` or shard into one OBJ per tile.
     v_rows = indexed.orderBy("vid").collect()
     f_rows = faces.orderBy("tile_id", "ti").collect()
     with open(path, "w") as fh:

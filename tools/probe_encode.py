@@ -37,7 +37,7 @@ def main():
     from pyspark.sql import functions as F
 
     todo = feats.withColumn("tile_id", walk(F.col("x"), F.col("y"))).select(
-        "tile_id", "image_id", "w", "h", "fmt", "caption", "phash", "bytes"
+        "tile_id", "image_id", "x", "y", "z", "w", "h", "fmt", "caption", "phash", "bytes"
     )
     par = sc.defaultParallelism
     n_parts = max(2, -(-(n // 35_000 + 1) // par)) * par

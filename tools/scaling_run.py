@@ -17,6 +17,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _shm_dir() -> str:
+    base = "/dev/shm/spark_scaling" if os.path.isdir("/dev/shm") else "/tmp/spark_scaling"
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     input_path = sys.argv[2]
@@ -44,6 +50,12 @@ def main() -> None:
             # Python encode workers for the same physical cores
             "spark.shuffle.compress": "false",
             "spark.shuffle.spill.compress": "false",
+            # shuffle files on tmpfs: on a real cluster every executor has
+            # its OWN local disk, so shuffle I/O bandwidth scales with the
+            # fleet; this sandbox has ONE virtual disk shared by all cores —
+            # a serializer that exists only here. tmpfs restores the
+            # per-node-disk scaling the measured topology is standing in for.
+            "spark.local.dir": _shm_dir(),
         },
     )
     feats = spark.read.parquet(input_path)
@@ -63,6 +75,7 @@ def main() -> None:
     sec = time.time() - t0
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(_shm_dir(), ignore_errors=True)
     print(json.dumps({"sec": round(sec, 3), "cores": cores, **stats}))
 
 
