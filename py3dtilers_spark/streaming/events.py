@@ -40,6 +40,77 @@ def events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "event_type string, session_start bigint, session_end bigint,"
+    " n bigint, value_e4 bigint"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n long, val long"
+
+
+def sessionize_stream(src: DataFrame, gap_sec: int = 21600) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): gap-based
+    sessionization per event_type. Events closer than `gap_sec` chain into
+    one session; a session still open at the end of a micro-batch is carried
+    in the group state and merged with the next batch (so sessions spanning
+    micro-batch/file boundaries assemble exactly once). Closed sessions are
+    appended as they are sealed.
+
+    No reference counterpart (the reference is batch-only); this is the
+    engine's demonstration of arbitrary stateful logic beyond windowed aggs
+    — at scale the state store shards by group key like any shuffle.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts, ignore_index=True).sort_values("tse")
+        tse = rows["tse"].to_numpy(dtype=np.int64)
+        ve4 = rows["ve4"].to_numpy(dtype=np.int64)
+        cur = tuple(state.get) if state.exists else None  # (start, end, n, val)
+
+        # a session starts at i when the gap to the previous event (or to
+        # the carried-over open session's end) exceeds gap_sec
+        prev_end = cur[1] if cur else tse[0] - gap_sec - 1
+        prev = np.concatenate(([prev_end], tse[:-1]))
+        starts = np.flatnonzero((tse - prev) > gap_sec)
+        bounds = np.concatenate((starts, [len(tse)])).astype(np.int64)
+
+        closed: list[tuple] = []
+        if starts.size == 0 or starts[0] != 0:
+            # head run continues the open session
+            head = int(bounds[0]) if starts.size else len(tse)
+            cur = (
+                cur[0],
+                int(tse[head - 1]),
+                cur[2] + head,
+                cur[3] + int(ve4[:head].sum()),
+            )
+        for i, s in enumerate(starts):
+            e = int(bounds[i + 1])
+            if cur is not None:
+                closed.append((key[0], *cur))
+            cur = (int(tse[s]), int(tse[e - 1]), int(e - s), int(ve4[s:e].sum()))
+        state.update(tuple(int(x) for x in cur))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["event_type", "session_start", "session_end", "n", "value_e4"],
+            )
+
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, name: str = "events_out") -> DataFrame:
     """Drive the stream to completion with availableNow; returns the result
     as a batch DataFrame from the memory sink."""
