@@ -179,6 +179,137 @@ def collapse_lineages(nodes_rec: DataFrame, edges_d: DataFrame) -> DataFrame:
     )
 
 
+def collapse_fusions(nodes_rec: DataFrame, edges_d: DataFrame):
+    """H6 stage 2 (temporal_graph.py:1013-1060): sweeping time stamps old ->
+    new, a node whose ancestor edges are ALL 'fused' and whose ancestors all
+    share one time stamp absorbs them — the ancestors' own in-edges rewire
+    to it, the ancestors and the fused edges disappear, and it inherits the
+    earliest ancestor start date.
+
+    Returns (nodes', edges'): nodes' = (gid, start_year), edges' = the
+    surviving edge set. One converging join set per time stamp — the sweep
+    length is the stamp count, never the node count.
+    """
+    spark = nodes_rec.sparkSession
+    nodes = nodes_rec.select(
+        "gid", node_year().alias("start_year")
+    ).localCheckpoint(eager=True)
+    edges = edges_d.select("src_gid", "dst_gid", "tags").localCheckpoint(eager=True)
+    stamps = sorted(
+        r["ts"] for r in nodes.select(node_year("gid").alias("ts")).distinct().collect()
+    )
+    for t in stamps[1:]:  # stage applies to nodes WITH ancestors
+        # per destination at stamp t: aggregate its in-edges + ancestor facts
+        anc = nodes.selectExpr(
+            "gid AS src_gid", "start_year AS anc_start"
+        ).withColumn("anc_stamp", node_year("src_gid"))
+        cand = (
+            edges.where(node_year("dst_gid") == t)
+            .join(anc, "src_gid")
+            .groupBy("dst_gid")
+            .agg(
+                F.expr("every(tags = 'fused')").alias("all_fused"),
+                F.countDistinct("anc_stamp").alias("n_stamps"),
+                F.min("anc_start").alias("new_start"),
+            )
+            .where("all_fused AND n_stamps = 1")
+            .select("dst_gid", "new_start")
+            .localCheckpoint(eager=True)
+        )
+        if cand.isEmpty():
+            continue
+        absorbed = (
+            edges.join(cand.select("dst_gid"), "dst_gid")
+            .where(F.col("tags") == "fused")
+            .selectExpr("src_gid AS gid", "dst_gid AS heir")
+            .localCheckpoint(eager=True)
+        )
+        # rewire in-edges of absorbed ancestors to the heir
+        rewired = (
+            edges.join(absorbed.selectExpr("gid AS dst_gid", "heir"), "dst_gid", "left")
+            .select(
+                "src_gid",
+                F.coalesce("heir", F.col("dst_gid")).alias("dst_gid"),
+                "tags",
+            )
+        )
+        # drop the fused edges themselves (now self-referencing post-rewire
+        # would be wrong — they are removed, not rewired)
+        edges = (
+            rewired.join(
+                absorbed.selectExpr("gid AS src_gid", "heir AS dst_gid"),
+                ["src_gid", "dst_gid"],
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            nodes.join(absorbed.select("gid"), "gid", "left_anti")
+            .join(cand.selectExpr("dst_gid AS gid", "new_start"), "gid", "left")
+            .select(
+                "gid", F.coalesce("new_start", F.col("start_year")).alias("start_year")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return nodes, edges
+
+
+def collapse_subdivisions(nodes_df: DataFrame, edges_df: DataFrame):
+    """H6 stage 3 (temporal_graph.py:1062-1112, mirror of stage 2): sweeping
+    old -> new, a node whose descendant edges are ALL 'subdivided' and whose
+    descendants share one time stamp keeps only itself — the descendants'
+    own out-edges rewire up to it and the descendants disappear (the
+    reference keeps the ANCESTOR here: split_edge_and_remove_descendant).
+
+    nodes_df: (gid, start_year); returns (nodes', edges')."""
+    nodes = nodes_df.localCheckpoint(eager=True)
+    edges = edges_df.select("src_gid", "dst_gid", "tags").localCheckpoint(eager=True)
+    stamps = sorted(
+        r["ts"] for r in nodes.select(node_year("gid").alias("ts")).distinct().collect()
+    )
+    for t in stamps:
+        desc = nodes.selectExpr("gid AS dst_gid").withColumn(
+            "desc_stamp", node_year("dst_gid")
+        )
+        cand = (
+            edges.where(node_year("src_gid") == t)
+            .join(desc, "dst_gid")
+            .groupBy("src_gid")
+            .agg(
+                F.expr("every(tags = 'subdivided')").alias("all_sub"),
+                F.countDistinct("desc_stamp").alias("n_stamps"),
+            )
+            .where("all_sub AND n_stamps = 1")
+            .select("src_gid")
+            .localCheckpoint(eager=True)
+        )
+        if cand.isEmpty():
+            continue
+        absorbed = (
+            edges.join(cand, "src_gid")
+            .where(F.col("tags") == "subdivided")
+            .selectExpr("dst_gid AS gid", "src_gid AS heir")
+            .localCheckpoint(eager=True)
+        )
+        rewired = (
+            edges.join(absorbed.selectExpr("gid AS src_gid", "heir"), "src_gid", "left")
+            .select(
+                F.coalesce("heir", F.col("src_gid")).alias("src_gid"),
+                "dst_gid",
+                "tags",
+            )
+        )
+        edges = rewired.join(
+            absorbed.selectExpr("heir AS src_gid", "gid AS dst_gid"),
+            ["src_gid", "dst_gid"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        nodes = nodes.join(absorbed.select("gid"), "gid", "left_anti").localCheckpoint(
+            eager=True
+        )
+    return nodes, edges
+
+
 def transactions(edges_d: DataFrame) -> DataFrame:
     """H7: modified one-to-one edges become 'modification' transactions
     spanning [ancestor year, descendant year]

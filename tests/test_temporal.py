@@ -82,3 +82,58 @@ def test_timestamps_and_lineage(spark, tmp_path):
     tx = transactions(ded).collect()
     assert len(tx) == 1 and tx[0]["source"] == "2009::BLD_2"
     assert (tx[0]["start_year"], tx[0]["end_year"]) == (2009, 2012)
+
+
+def test_collapse_fusions_and_subdivisions(spark, tmp_path):
+    """H6 stages 2-3 (temporal_graph.py:1013-1112): fusion absorbs same-date
+    ancestors (in-edges rewired down); subdivision absorbs same-date
+    descendants (out-edges rewired up)."""
+    import json as _json
+
+    from py3dtilers_spark.operators.temporal import (
+        collapse_fusions,
+        collapse_subdivisions,
+    )
+
+    graph = {
+        "nodes": [
+            {"id": "1", "globalid": "2009::A"},
+            {"id": "2", "globalid": "2009::B"},
+            {"id": "3", "globalid": "2012::AB"},     # A + B fuse into AB
+            {"id": "4", "globalid": "2015::AB1"},    # AB subdivides
+            {"id": "5", "globalid": "2015::AB2"},
+            {"id": "6", "globalid": "2006::A0"},     # A's own ancestor
+            {"id": "7", "globalid": "2018::Z"},      # AB2's descendant
+        ],
+        "edges": [
+            {"id": "1", "source": "1", "target": "3", "type": "replace", "tags": "fused"},
+            {"id": "2", "source": "2", "target": "3", "type": "replace", "tags": "fused"},
+            {"id": "3", "source": "3", "target": "4", "type": "replace", "tags": "subdivided"},
+            {"id": "4", "source": "3", "target": "5", "type": "replace", "tags": "subdivided"},
+            {"id": "5", "source": "6", "target": "1", "type": "replace", "tags": "modified"},
+            {"id": "6", "source": "5", "target": "7", "type": "replace", "tags": "modified"},
+        ],
+    }
+    p = tmp_path / "graph_fuse.json"
+    p.write_text(_json.dumps(graph))
+    nodes, edges = read_temporal_graphs(spark, [str(p)])
+    rec = reconcile_nodes(nodes)
+    ded = dedup_edges(resolve_edges(edges, nodes))
+
+    n2, e2 = collapse_fusions(rec, ded)
+    gids = {r["gid"]: r["start_year"] for r in n2.collect()}
+    # A and B absorbed into AB; AB inherits the 2009 start; A0 edge rewired
+    assert "2009::A" not in gids and "2009::B" not in gids
+    assert gids["2012::AB"] == 2009
+    e2_set = {(r["src_gid"], r["dst_gid"], r["tags"]) for r in e2.collect()}
+    assert ("2006::A0", "2012::AB", "modified") in e2_set
+    assert not any(t == "fused" for _, _, t in e2_set)
+
+    n3, e3 = collapse_subdivisions(n2, e2)
+    gids3 = {r["gid"] for r in n3.collect()}
+    # AB1/AB2 absorbed into AB; AB2's out-edge rewired up to AB
+    assert "2015::AB1" not in gids3 and "2015::AB2" not in gids3
+    assert "2012::AB" in gids3 and "2018::Z" in gids3
+    e3_set = {(r["src_gid"], r["dst_gid"], r["tags"]) for r in e3.collect()}
+    assert ("2012::AB", "2018::Z", "modified") in e3_set
+    assert not any(t == "subdivided" for _, _, t in e3_set)
