@@ -310,6 +310,60 @@ def collapse_subdivisions(nodes_df: DataFrame, edges_df: DataFrame):
     return nodes, edges
 
 
+def aggregate_transactions(edges_d: DataFrame) -> DataFrame:
+    """H7 aggregate case (CityTemporalTiler.py:166-260): a node whose
+    in-edges are all 'fused' yields a union transaction over its sorted
+    ancestor global ids; a node whose out-edges are all 'subdivided' yields
+    a division transaction over its sorted descendants. When any of those
+    edges ALSO carries 'modified' the reference nests the primary inside a
+    TransactionAggregate — surfaced here as is_aggregate=true.
+
+    Output: (tx_type, sources array, destinations array, start_year,
+    end_year, is_aggregate). One groupBy per direction; no driver graph.
+    """
+    unions = (
+        edges_d.groupBy("dst_gid")
+        .agg(
+            F.expr("every(tags LIKE '%fused%')").alias("all_fused"),
+            F.sort_array(F.collect_list("src_gid")).alias("sources"),
+            F.expr("bool_or(tags LIKE '%modified%')").alias("agg_req"),
+            F.max(F.expr("CAST(split_part(src_gid, '::', 1) AS BIGINT)")).alias(
+                "start_year"
+            ),
+        )
+        .where("all_fused")
+        .select(
+            F.lit("union").alias("tx_type"),
+            "sources",
+            F.array("dst_gid").alias("destinations"),
+            "start_year",
+            node_year("dst_gid").alias("end_year"),
+            F.col("agg_req").alias("is_aggregate"),
+        )
+    )
+    divisions = (
+        edges_d.groupBy("src_gid")
+        .agg(
+            F.expr("every(tags LIKE '%subdivided%')").alias("all_sub"),
+            F.sort_array(F.collect_list("dst_gid")).alias("destinations"),
+            F.expr("bool_or(tags LIKE '%modified%')").alias("agg_req"),
+            F.min(F.expr("CAST(split_part(dst_gid, '::', 1) AS BIGINT)")).alias(
+                "end_year"
+            ),
+        )
+        .where("all_sub")
+        .select(
+            F.lit("division").alias("tx_type"),
+            F.array("src_gid").alias("sources"),
+            "destinations",
+            node_year("src_gid").alias("start_year"),
+            "end_year",
+            F.col("agg_req").alias("is_aggregate"),
+        )
+    )
+    return unions.unionByName(divisions)
+
+
 def transactions(edges_d: DataFrame) -> DataFrame:
     """H7: modified one-to-one edges become 'modification' transactions
     spanning [ancestor year, descendant year]

@@ -120,6 +120,18 @@ def test_collapse_fusions_and_subdivisions(spark, tmp_path):
     rec = reconcile_nodes(nodes)
     ded = dedup_edges(resolve_edges(edges, nodes))
 
+    from py3dtilers_spark.operators.temporal import aggregate_transactions
+
+    txs = {
+        (r["tx_type"], tuple(r["sources"]), tuple(r["destinations"]),
+         r["start_year"], r["end_year"], r["is_aggregate"])
+        for r in aggregate_transactions(ded).collect()
+    }
+    assert ("union", ("2009::A", "2009::B"), ("2012::AB",), 2009, 2012, False) in txs
+    assert (
+        "division", ("2012::AB",), ("2015::AB1", "2015::AB2"), 2012, 2015, False
+    ) in txs
+
     n2, e2 = collapse_fusions(rec, ded)
     gids = {r["gid"]: r["start_year"] for r in n2.collect()}
     # A and B absorbed into AB; AB inherits the 2009 start; A0 edge rewired
