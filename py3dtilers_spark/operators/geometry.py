@@ -51,7 +51,13 @@ def ear_clip(ring: np.ndarray) -> np.ndarray:
             del idx[k]
             break
         else:
-            break  # no ear found (degenerate input): stop
+            # no ear found: degenerate / self-intersecting input. Returning a
+            # truncated fan here would silently corrupt n_tri/area invariants
+            # downstream — surface the failure as an empty triangulation
+            # instead (callers treat 0 triangles as "degenerate ring").
+            return np.empty((0, 3), dtype=np.int32)
+    if len(idx) != 3:  # guard-counter exit: same degenerate contract
+        return np.empty((0, 3), dtype=np.int32)
     tris.append(tuple(idx[:3]))
     return np.asarray(tris, dtype=np.int32)
 

@@ -181,16 +181,24 @@ def collapse_lineages(nodes_rec: DataFrame, edges_d: DataFrame) -> DataFrame:
 
 def collapse_fusions(nodes_rec: DataFrame, edges_d: DataFrame):
     """H6 stage 2 (temporal_graph.py:1013-1060): sweeping time stamps old ->
-    new, a node whose ancestor edges are ALL 'fused' and whose ancestors all
-    share one time stamp absorbs them — the ancestors' own in-edges rewire
-    to it, the ancestors and the fused edges disappear, and it inherits the
-    earliest ancestor start date.
+    new, a node with AT LEAST TWO ancestor edges, ALL 'fused'
+    (are_all_ancestor_edges_of_type requires >= 2, temporal_graph.py:150-163),
+    whose ancestors all share one (start, end) date pair
+    (do_all_ancestor_nodes_share_same_date, :179-196) absorbs them — the
+    ancestors' own in-edges rewire down to it
+    (collapse_edge_and_remove_ancestor, :694-730), the ancestors and the
+    fused edges disappear, and it inherits the shared ancestor start date.
+
+    When one ancestor fuses into TWO heirs at the same stamp the sequential
+    reference would sys.exit in delete_node (the second collapse sees a node
+    already removed, :603-631); here each absorbed ancestor deterministically
+    rewires to its lowest-gid heir and every fused in-edge of every candidate
+    is removed.
 
     Returns (nodes', edges'): nodes' = (gid, start_year), edges' = the
     surviving edge set. One converging join set per time stamp — the sweep
     length is the stamp count, never the node count.
     """
-    spark = nodes_rec.sparkSession
     nodes = nodes_rec.select(
         "gid", node_year().alias("start_year")
     ).localCheckpoint(eager=True)
@@ -208,23 +216,29 @@ def collapse_fusions(nodes_rec: DataFrame, edges_d: DataFrame):
             .join(anc, "src_gid")
             .groupBy("dst_gid")
             .agg(
-                F.expr("every(tags = 'fused')").alias("all_fused"),
+                F.expr("every(tags LIKE '%fused%')").alias("all_fused"),
+                F.count(F.lit(1)).alias("n_in"),
+                F.countDistinct("anc_start").alias("n_starts"),
                 F.countDistinct("anc_stamp").alias("n_stamps"),
                 F.min("anc_start").alias("new_start"),
             )
-            .where("all_fused AND n_stamps = 1")
+            .where("all_fused AND n_in >= 2 AND n_starts = 1 AND n_stamps = 1")
             .select("dst_gid", "new_start")
             .localCheckpoint(eager=True)
         )
         if cand.isEmpty():
             continue
+        # one heir per absorbed ancestor (lowest gid = the deterministic
+        # stand-in for the reference's first-processed heir)
         absorbed = (
             edges.join(cand.select("dst_gid"), "dst_gid")
-            .where(F.col("tags") == "fused")
-            .selectExpr("src_gid AS gid", "dst_gid AS heir")
+            .groupBy(F.col("src_gid").alias("gid"))
+            .agg(F.min("dst_gid").alias("heir"))
             .localCheckpoint(eager=True)
         )
-        # rewire in-edges of absorbed ancestors to the heir
+        # rewire in-edges of absorbed ancestors to the heir; drop every edge
+        # adjacent to a candidate's fused in-edge set (src side: the absorbed
+        # ancestor's residual out-edges would dangle in the reference too)
         rewired = (
             edges.join(absorbed.selectExpr("gid AS dst_gid", "heir"), "dst_gid", "left")
             .select(
@@ -233,13 +247,9 @@ def collapse_fusions(nodes_rec: DataFrame, edges_d: DataFrame):
                 "tags",
             )
         )
-        # drop the fused edges themselves (now self-referencing post-rewire
-        # would be wrong — they are removed, not rewired)
         edges = (
             rewired.join(
-                absorbed.selectExpr("gid AS src_gid", "heir AS dst_gid"),
-                ["src_gid", "dst_gid"],
-                "left_anti",
+                absorbed.selectExpr("gid AS src_gid"), "src_gid", "left_anti"
             )
             .localCheckpoint(eager=True)
         )
@@ -255,11 +265,20 @@ def collapse_fusions(nodes_rec: DataFrame, edges_d: DataFrame):
 
 
 def collapse_subdivisions(nodes_df: DataFrame, edges_df: DataFrame):
-    """H6 stage 3 (temporal_graph.py:1062-1112, mirror of stage 2): sweeping
-    old -> new, a node whose descendant edges are ALL 'subdivided' and whose
-    descendants share one time stamp keeps only itself — the descendants'
-    own out-edges rewire up to it and the descendants disappear (the
-    reference keeps the ANCESTOR here: split_edge_and_remove_descendant).
+    """H6 stage 3 (temporal_graph.py:1062-1112): sweeping old -> new, a node
+    with AT LEAST TWO descendant edges, ALL 'subdivided'
+    (are_all_descendant_edges_of_type, :165-177), whose descendants all share
+    one (start, end) date pair and which has AT MOST ONE ancestor edge
+    (>1 is explicitly left untouched, :1063-1066) is REMOVED and its
+    descendants survive, inheriting its start date:
+
+    - 0 ancestor edges: the node and its subdivision edges are simply
+      deleted (:1074-1086 — "this sub-division was not a geometrical one").
+    - 1 ancestor edge: the subdivision edges first get 'modified' appended
+      (descendant_edge.set_modified(), :1092-1096 — append, so the tag pair
+      is 'subdivided,modified'), then split_edge_and_remove_descendant
+      (:732-773) rewires them up to the node's single ancestor and deletes
+      both the node and its ancestor edge.
 
     nodes_df: (gid, start_year); returns (nodes', edges')."""
     nodes = nodes_df.localCheckpoint(eager=True)
@@ -268,110 +287,220 @@ def collapse_subdivisions(nodes_df: DataFrame, edges_df: DataFrame):
         r["ts"] for r in nodes.select(node_year("gid").alias("ts")).distinct().collect()
     )
     for t in stamps:
-        desc = nodes.selectExpr("gid AS dst_gid").withColumn(
+        desc = nodes.selectExpr("gid AS dst_gid", "start_year AS desc_start").withColumn(
             "desc_stamp", node_year("dst_gid")
+        )
+        in_deg = edges.groupBy(F.col("dst_gid").alias("src_gid")).agg(
+            F.count(F.lit(1)).alias("n_in")
         )
         cand = (
             edges.where(node_year("src_gid") == t)
             .join(desc, "dst_gid")
             .groupBy("src_gid")
             .agg(
-                F.expr("every(tags = 'subdivided')").alias("all_sub"),
+                F.expr("every(tags LIKE '%subdivided%')").alias("all_sub"),
+                F.count(F.lit(1)).alias("n_out"),
+                F.countDistinct("desc_start").alias("n_starts"),
                 F.countDistinct("desc_stamp").alias("n_stamps"),
             )
-            .where("all_sub AND n_stamps = 1")
+            .where("all_sub AND n_out >= 2 AND n_starts = 1 AND n_stamps = 1")
+            .join(in_deg, "src_gid", "left")
+            .where("n_in IS NULL OR n_in <= 1")
             .select("src_gid")
+            .join(nodes.selectExpr("gid AS src_gid", "start_year AS cand_start"),
+                  "src_gid")
             .localCheckpoint(eager=True)
         )
         if cand.isEmpty():
             continue
-        absorbed = (
-            edges.join(cand, "src_gid")
-            .where(F.col("tags") == "subdivided")
-            .selectExpr("dst_gid AS gid", "src_gid AS heir")
+        # the (at most one) ancestor edge of each candidate: anc -> cand
+        anc1 = (
+            edges.join(cand.selectExpr("src_gid AS dst_gid"), "dst_gid")
+            .selectExpr("dst_gid AS cand_gid", "src_gid AS anc_gid")
             .localCheckpoint(eager=True)
         )
-        rewired = (
-            edges.join(absorbed.selectExpr("gid AS src_gid", "heir"), "src_gid", "left")
+        # out-edges of candidates: deleted when the candidate has no
+        # ancestor, rewired (anc -> desc, +',modified') when it has one
+        out_e = edges.join(
+            cand.selectExpr("src_gid", "cand_start"), "src_gid"
+        )
+        rewired_up = (
+            out_e.join(anc1.selectExpr("cand_gid AS src_gid", "anc_gid"), "src_gid")
             .select(
-                F.coalesce("heir", F.col("src_gid")).alias("src_gid"),
+                F.col("anc_gid").alias("src_gid"),
                 "dst_gid",
-                "tags",
+                F.concat(F.col("tags"), F.lit(",modified")).alias("tags"),
             )
         )
-        edges = rewired.join(
-            absorbed.selectExpr("heir AS src_gid", "gid AS dst_gid"),
-            ["src_gid", "dst_gid"],
-            "left_anti",
-        ).localCheckpoint(eager=True)
-        nodes = nodes.join(absorbed.select("gid"), "gid", "left_anti").localCheckpoint(
-            eager=True
+        kept = (
+            edges.join(cand.select("src_gid"), "src_gid", "left_anti")
+            .join(cand.selectExpr("src_gid AS dst_gid"), "dst_gid", "left_anti")
+        )
+        edges = kept.unionByName(rewired_up).localCheckpoint(eager=True)
+        # descendants inherit the candidate's start date (min across
+        # candidates sharing a descendant — the sequential order is
+        # list-dependent in the reference)
+        desc_start = out_e.groupBy(F.col("dst_gid").alias("gid")).agg(
+            F.min("cand_start").alias("inh_start")
+        )
+        nodes = (
+            nodes.join(cand.selectExpr("src_gid AS gid"), "gid", "left_anti")
+            .join(desc_start, "gid", "left")
+            .select(
+                "gid",
+                F.coalesce("inh_start", F.col("start_year")).alias("start_year"),
+            )
+            .localCheckpoint(eager=True)
         )
     return nodes, edges
 
 
-def aggregate_transactions(edges_d: DataFrame) -> DataFrame:
-    """H7 aggregate case (CityTemporalTiler.py:166-260): a node whose
-    in-edges are all 'fused' yields a union transaction over its sorted
-    ancestor global ids; a node whose out-edges are all 'subdivided' yields
-    a division transaction over its sorted descendants. When any of those
-    edges ALSO carries 'modified' the reference nests the primary inside a
-    TransactionAggregate — surfaced here as is_aggregate=true.
+def requalify_edges(edges_d: DataFrame) -> DataFrame:
+    """H7 re-qualification pass (CityTemporalTiler.py:143-166): a node with
+    >= 2 in-edges ALL 'modified' marks an incompletely-labelled fusion —
+    each such in-edge gets 'fused' appended; symmetrically >= 2 all-modified
+    out-edges get 'subdivided' appended. The >= 2 floor comes from
+    are_all_ancestor_edges_of_type (temporal_graph.py:150-163). Both passes
+    test is_modified (tag CONTAINS modified), so appending 'fused' first
+    never hides an edge from the second pass — order-independent."""
+    req_in = (
+        edges_d.groupBy("dst_gid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("every(tags LIKE '%modified%')").alias("allm"),
+        )
+        .where("n >= 2 AND allm")
+        .select("dst_gid", F.lit(True).alias("add_fused"))
+    )
+    req_out = (
+        edges_d.groupBy("src_gid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("every(tags LIKE '%modified%')").alias("allm"),
+        )
+        .where("n >= 2 AND allm")
+        .select("src_gid", F.lit(True).alias("add_sub"))
+    )
+    return (
+        edges_d.join(req_in, "dst_gid", "left")
+        .join(req_out, "src_gid", "left")
+        .select(
+            "src_gid",
+            "dst_gid",
+            F.concat(
+                F.col("tags"),
+                F.when(F.col("add_fused"), F.lit(",fused")).otherwise(F.lit("")),
+                F.when(F.col("add_sub"), F.lit(",subdivided")).otherwise(F.lit("")),
+            ).alias("tags"),
+        )
+    )
 
-    Output: (tx_type, sources array, destinations array, start_year,
-    end_year, is_aggregate). One groupBy per direction; no driver graph.
-    """
+
+# nested transaction payload (H7): the reference's TemporalTransactionAggregate
+# replicates every base attribute into each nested PrimaryTransaction
+# (replicate_from, CityTemporalTiler.py:211-226), so the children differ only
+# by type — materialized here as a full struct per child.
+_CHILD = (
+    "named_struct('tx_type', {t}, 'sources', sources, 'destinations',"
+    " destinations, 'start_year', start_year, 'end_year', end_year)"
+)
+
+
+def _with_nesting(df: DataFrame, primary: str) -> DataFrame:
+    """Wrap a primary-transaction frame: when agg_req, the row becomes a
+    TransactionAggregate holding [primary, modification] children
+    (CityTemporalTiler.py:216-226 / :270-279); otherwise the primary stands
+    alone with no children."""
+    child_p = _CHILD.format(t=f"'{primary}'")
+    child_m = _CHILD.format(t="'modification'")
+    return df.select(
+        F.expr(f"IF(agg_req, 'aggregate', '{primary}')").alias("tx_type"),
+        "sources",
+        "destinations",
+        "start_year",
+        "end_year",
+        F.col("agg_req").alias("is_aggregate"),
+        F.expr(
+            f"IF(agg_req, array({child_p}, {child_m}),"
+            " CAST(array() AS ARRAY<STRUCT<tx_type: STRING,"
+            " sources: ARRAY<STRING>, destinations: ARRAY<STRING>,"
+            " start_year: BIGINT, end_year: BIGINT>>))"
+        ).alias("transactions"),
+    )
+
+
+def aggregate_transactions(edges_d: DataFrame, requalify: bool = True) -> DataFrame:
+    """H7 union/division case (CityTemporalTiler.py:166-279): a node with
+    >= 2 in-edges all 'fused' yields a union transaction over its sorted
+    ancestor global ids; a node with >= 2 out-edges all 'subdivided' yields
+    a division over its sorted descendants (the >= 2 floor is
+    are_all_*_edges_of_type, temporal_graph.py:150-177). When any
+    participating edge ALSO carries 'modified', the reference wraps the
+    primary in a TransactionAggregate nesting [primary, modification] —
+    emitted here as tx_type='aggregate' with the children in `transactions`
+    (each child replicating the shared attributes, replicate_from).
+
+    Runs the re-qualification pass first (requalify=True) so pure-modified
+    fan-in/fan-out nodes surface as aggregates too (CityTemporalTiler.py:
+    143-166). One groupBy per direction; no driver graph."""
+    if requalify:
+        edges_d = requalify_edges(edges_d)
     unions = (
         edges_d.groupBy("dst_gid")
         .agg(
             F.expr("every(tags LIKE '%fused%')").alias("all_fused"),
+            F.count(F.lit(1)).alias("n_in"),
             F.sort_array(F.collect_list("src_gid")).alias("sources"),
             F.expr("bool_or(tags LIKE '%modified%')").alias("agg_req"),
             F.max(F.expr("CAST(split_part(src_gid, '::', 1) AS BIGINT)")).alias(
                 "start_year"
             ),
         )
-        .where("all_fused")
+        .where("all_fused AND n_in >= 2")
         .select(
-            F.lit("union").alias("tx_type"),
             "sources",
             F.array("dst_gid").alias("destinations"),
             "start_year",
             node_year("dst_gid").alias("end_year"),
-            F.col("agg_req").alias("is_aggregate"),
+            "agg_req",
         )
     )
     divisions = (
         edges_d.groupBy("src_gid")
         .agg(
             F.expr("every(tags LIKE '%subdivided%')").alias("all_sub"),
+            F.count(F.lit(1)).alias("n_out"),
             F.sort_array(F.collect_list("dst_gid")).alias("destinations"),
             F.expr("bool_or(tags LIKE '%modified%')").alias("agg_req"),
             F.min(F.expr("CAST(split_part(dst_gid, '::', 1) AS BIGINT)")).alias(
                 "end_year"
             ),
         )
-        .where("all_sub")
+        .where("all_sub AND n_out >= 2")
         .select(
-            F.lit("division").alias("tx_type"),
             F.array("src_gid").alias("sources"),
             "destinations",
             node_year("src_gid").alias("start_year"),
             "end_year",
-            F.col("agg_req").alias("is_aggregate"),
+            "agg_req",
         )
     )
-    return unions.unionByName(divisions)
+    return _with_nesting(unions, "union").unionByName(
+        _with_nesting(divisions, "division")
+    )
 
 
 def transactions(edges_d: DataFrame) -> DataFrame:
     """H7: modified one-to-one edges become 'modification' transactions
-    spanning [ancestor year, descendant year]
-    (CityTemporalTiler.py:125-142)."""
+    spanning [ancestor year, descendant year] (CityTemporalTiler.py:125-142;
+    is_modified = tag CONTAINS modified, so stage-3's 'subdivided,modified'
+    edges qualify when 1-1 — they never are, their split leaves the new
+    ancestor with >= 2 out-edges, but the predicate matches the
+    reference's)."""
     out_deg = edges_d.groupBy("src_gid").agg(F.count(F.lit(1)).alias("od"))
     in_deg = edges_d.groupBy("dst_gid").agg(F.count(F.lit(1)).alias("id_"))
     return (
-        edges_d.where(F.col("tags") == "modified")
+        edges_d.where(F.col("tags").like("%modified%"))
         .join(out_deg, "src_gid")
         .join(in_deg, "dst_gid")
         .where("od = 1 AND id_ = 1")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .data.features import load_table
 from .operators.temporal import (
+    aggregate_transactions,
     collapse_lineages,
     dedup_edges,
     edge_type_counts,
@@ -45,7 +46,7 @@ tg_nodes AS (
   FROM tg_nodes_all n CROSS JOIN grid64 f
   WHERE f.i < 2 AND (n.yi = f.i OR n.yi = f.i + 1)
 ),
-tg_edges AS (
+tg_edges_base AS (
   SELECT s.file_id,
          s.b * 8 + s.file_id * 2 + c.i AS edge_id,
          s.local_id AS src, d.local_id AS dst,
@@ -59,6 +60,25 @@ tg_edges AS (
    AND s.yi = s.file_id AND d.yi = s.file_id + 1
   CROSS JOIN grid64 c
   WHERE c.i < CASE WHEN (s.hb + s.file_id) % 7 = 0 THEN 2 ELSE 1 END
+),
+tg_pairs AS (
+  SELECT b, hb, lead(b) OVER (ORDER BY b) AS b2
+  FROM tg_base
+),
+tg_edges_x AS (
+  SELECT s.file_id,
+         p.b * 8 + s.file_id * 2 + 5 AS edge_id,
+         s.local_id AS src, d.local_id AS dst,
+         CASE CAST((p.hb + s.file_id) % 3 AS INT)
+              WHEN 0 THEN 'fused' WHEN 1 THEN 'modified'
+              ELSE 'subdivided' END AS tags
+  FROM tg_pairs p
+  JOIN tg_nodes s ON s.b = p.b2 AND s.yi = s.file_id
+  JOIN tg_nodes d ON d.b = p.b AND d.file_id = s.file_id AND d.yi = s.file_id + 1
+  WHERE p.hb % 3 = 0 AND p.b2 IS NOT NULL
+),
+tg_edges AS (
+  SELECT * FROM tg_edges_base UNION ALL SELECT * FROM tg_edges_x
 )""".strip()
 
 SPARK_GRID64 = "grid64 AS (SELECT id AS i FROM range(64))"
@@ -233,9 +253,74 @@ def tg_transactions_oracle() -> str:
         " CAST(split_part(src_gid, '::', 1) AS BIGINT) AS start_year,"
         " CAST(split_part(dst_gid, '::', 1) AS BIGINT) AS end_year"
         " FROM tg_dedup"
-        " WHERE tags = 'modified'"
+        " WHERE tags LIKE '%modified%'"
         "   AND src_gid IN (SELECT src_gid FROM tg_dedup GROUP BY src_gid HAVING count(*) = 1)"
         "   AND dst_gid IN (SELECT dst_gid FROM tg_dedup GROUP BY dst_gid HAVING count(*) = 1)"
+    )
+
+
+# --------------------------------------------------------------- H7 aggregate
+
+def q_tg_tx_agg(spark, sf_dir):
+    """H7 union/division + re-qualification + TransactionAggregate nesting
+    (CityTemporalTiler.py:143-279), flattened to hashable scalars: the
+    nested children replicate the parent's attributes and differ only by
+    type, so (tx_type, n_nested, nested_types) pins the full structure."""
+    nodes, edges = _tg_frames(spark, sf_dir)
+    tx = aggregate_transactions(dedup_edges(resolve_edges(edges, nodes)))
+    return tx.select(
+        "tx_type",
+        F.array_join("sources", ",").alias("sources"),
+        F.array_join("destinations", ",").alias("destinations"),
+        "start_year",
+        "end_year",
+        F.size("transactions").alias("n_nested"),
+        F.array_join("transactions.tx_type", ",").alias("nested_types"),
+    )
+
+
+def tg_tx_agg_oracle() -> str:
+    extra = """
+tg_req AS (
+  SELECT src_gid, dst_gid,
+         tags
+         || CASE WHEN dst_gid IN (
+              SELECT dst_gid FROM tg_dedup GROUP BY dst_gid
+              HAVING count(*) >= 2 AND bool_and(tags LIKE '%modified%'))
+            THEN ',fused' ELSE '' END
+         || CASE WHEN src_gid IN (
+              SELECT src_gid FROM tg_dedup GROUP BY src_gid
+              HAVING count(*) >= 2 AND bool_and(tags LIKE '%modified%'))
+            THEN ',subdivided' ELSE '' END AS tags
+  FROM tg_dedup
+),
+tg_unions AS (
+  SELECT 'union' AS base_type,
+         string_agg(src_gid, ',' ORDER BY src_gid) AS sources,
+         dst_gid AS destinations,
+         max(CAST(split_part(src_gid, '::', 1) AS BIGINT)) AS start_year,
+         CAST(split_part(dst_gid, '::', 1) AS BIGINT) AS end_year,
+         bool_or(tags LIKE '%modified%') AS agg_req
+  FROM tg_req GROUP BY dst_gid
+  HAVING count(*) >= 2 AND bool_and(tags LIKE '%fused%')
+),
+tg_divisions AS (
+  SELECT 'division' AS base_type,
+         src_gid AS sources,
+         string_agg(dst_gid, ',' ORDER BY dst_gid) AS destinations,
+         CAST(split_part(src_gid, '::', 1) AS BIGINT) AS start_year,
+         min(CAST(split_part(dst_gid, '::', 1) AS BIGINT)) AS end_year,
+         bool_or(tags LIKE '%modified%') AS agg_req
+  FROM tg_req GROUP BY src_gid
+  HAVING count(*) >= 2 AND bool_and(tags LIKE '%subdivided%')
+)""".strip()
+    return _duck_sql(
+        "SELECT CASE WHEN agg_req THEN 'aggregate' ELSE base_type END AS tx_type,"
+        " sources, destinations, start_year, end_year,"
+        " CASE WHEN agg_req THEN 2 ELSE 0 END AS n_nested,"
+        " CASE WHEN agg_req THEN base_type || ',modification' ELSE '' END AS nested_types"
+        " FROM (SELECT * FROM tg_unions UNION ALL SELECT * FROM tg_divisions)",
+        extra=extra,
     )
 
 
@@ -249,5 +334,6 @@ def register(queries: dict) -> None:
             "tg_building_join": (q_tg_building_join, tg_building_join_oracle()),
             "tg_lineage": (q_tg_lineage, tg_lineage_oracle()),
             "tg_transactions": (q_tg_transactions, tg_transactions_oracle()),
+            "tg_tx_agg": (q_tg_tx_agg, tg_tx_agg_oracle()),
         }
     )

@@ -47,7 +47,9 @@ SESSION_OUT_SCHEMA = (
 _SESSION_STATE_SCHEMA = "start long, end long, n long, val long"
 
 
-def sessionize_stream(src: DataFrame, gap_sec: int = 21600) -> DataFrame:
+def sessionize_stream(
+    src: DataFrame, gap_sec: int = 21600, late_sec: int | None = None
+) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState): gap-based
     sessionization per event_type. Events closer than `gap_sec` chain into
     one session; a session still open at the end of a micro-batch is carried
@@ -55,59 +57,97 @@ def sessionize_stream(src: DataFrame, gap_sec: int = 21600) -> DataFrame:
     micro-batch/file boundaries assemble exactly once). Closed sessions are
     appended as they are sealed.
 
+    Two mechanisms make sure no session is silently withheld:
+
+    - event-time timeout: every open session arms a timeout at
+      session_end + gap_sec; once the stream's watermark (delay `late_sec`,
+      default gap_sec; events later than that are dropped, the standard
+      watermark contract) passes it, the session is emitted and the state
+      dropped — a key that goes quiet never wedges its last session.
+    - flush sentinels: a row with NULL ve4 is a drain marker — it both
+      advances the watermark and, for its own key, immediately emits the
+      carried session and clears the state. At end-of-stream the watermark
+      cannot pass max_event_time - delay on its own, so drivers that need a
+      complete drain (availableNow batch replays, shutdown) append one
+      sentinel per key (or one far-future sentinel broadcast to all keys).
+
     No reference counterpart (the reference is batch-only); this is the
     engine's demonstration of arbitrary stateful logic beyond windowed aggs
     — at scale the state store shards by group key like any shuffle.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if late_sec is None:
+        late_sec = gap_sec
+    cols = ["event_type", "session_start", "session_end", "n", "value_e4"]
+
     def fn(key, pdfs, state):
         import numpy as np
         import pandas as pd
 
+        if state.hasTimedOut:
+            if state.exists:
+                cur = tuple(int(x) for x in state.get)
+                state.remove()
+                yield pd.DataFrame([(key[0], *cur)], columns=cols)
+            return
+
         parts = [p for p in pdfs if len(p)]
         if not parts:
             return
-        rows = pd.concat(parts, ignore_index=True).sort_values("tse")
-        tse = rows["tse"].to_numpy(dtype=np.int64)
-        ve4 = rows["ve4"].to_numpy(dtype=np.int64)
-        cur = tuple(state.get) if state.exists else None  # (start, end, n, val)
-
-        # a session starts at i when the gap to the previous event (or to
-        # the carried-over open session's end) exceeds gap_sec
-        prev_end = cur[1] if cur else tse[0] - gap_sec - 1
-        prev = np.concatenate(([prev_end], tse[:-1]))
-        starts = np.flatnonzero((tse - prev) > gap_sec)
-        bounds = np.concatenate((starts, [len(tse)])).astype(np.int64)
+        rows = pd.concat(parts, ignore_index=True)
+        flush_req = bool(rows["ve4"].isna().any())
+        rows = rows.dropna(subset=["ve4"]).sort_values("tse")
+        cur = tuple(int(x) for x in state.get) if state.exists else None
 
         closed: list[tuple] = []
-        if starts.size == 0 or starts[0] != 0:
-            # head run continues the open session
-            head = int(bounds[0]) if starts.size else len(tse)
-            cur = (
-                cur[0],
-                int(tse[head - 1]),
-                cur[2] + head,
-                cur[3] + int(ve4[:head].sum()),
-            )
-        for i, s in enumerate(starts):
-            e = int(bounds[i + 1])
+        if len(rows):
+            tse = rows["tse"].to_numpy(dtype=np.int64)
+            ve4 = rows["ve4"].to_numpy(dtype=np.int64)
+            # a session starts at i when the gap to the previous event (or
+            # to the carried-over open session's end) exceeds gap_sec
+            prev_end = cur[1] if cur else tse[0] - gap_sec - 1
+            prev = np.concatenate(([prev_end], tse[:-1]))
+            starts = np.flatnonzero((tse - prev) > gap_sec)
+            bounds = np.concatenate((starts, [len(tse)])).astype(np.int64)
+            if starts.size == 0 or starts[0] != 0:
+                # head run continues the open session
+                head = int(bounds[0]) if starts.size else len(tse)
+                cur = (
+                    cur[0],
+                    int(tse[head - 1]),
+                    cur[2] + head,
+                    cur[3] + int(ve4[:head].sum()),
+                )
+            for i, s in enumerate(starts):
+                e = int(bounds[i + 1])
+                if cur is not None:
+                    closed.append((key[0], *cur))
+                cur = (int(tse[s]), int(tse[e - 1]), int(e - s), int(ve4[s:e].sum()))
+
+        if flush_req:
             if cur is not None:
                 closed.append((key[0], *cur))
-            cur = (int(tse[s]), int(tse[e - 1]), int(e - s), int(ve4[s:e].sum()))
-        state.update(tuple(int(x) for x in cur))
+            if state.exists:
+                state.remove()
+        elif cur is not None:
+            state.update(tuple(int(x) for x in cur))
+            # seal once the watermark passes the earliest instant at which
+            # no future event can extend this session
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((cur[1] + gap_sec) * 1000, wm + 1))
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["event_type", "session_start", "session_end", "n", "value_e4"],
-            )
+            yield pd.DataFrame(closed, columns=cols)
 
-    return src.groupBy("event_type").applyInPandasWithState(
+    watermarked = src.withColumn(
+        "_evt", F.col("tse").cast("timestamp")
+    ).withWatermark("_evt", f"{late_sec} seconds")
+    return watermarked.groupBy("event_type").applyInPandasWithState(
         fn,
         SESSION_OUT_SCHEMA,
         _SESSION_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

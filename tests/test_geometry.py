@@ -190,3 +190,22 @@ def test_delaunay_and_alpha_shape():
     assert len(ea) > h
     lens = np.hypot(*(pts[ea[:, 0]] - pts[ea[:, 1]]).T)
     assert lens.max() < 25.0
+
+
+def test_earclip_degenerate_returns_empty():
+    """A self-intersecting / zero-area ring must yield an EMPTY triangulation
+    (never a truncated fan that would corrupt n_tri/area invariants)."""
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import ear_clip
+
+    # collinear ring: no convex ear exists anywhere
+    collinear = np.array([[0, 0], [1, 0], [2, 0], [3, 0], [4, 0]], dtype=float)
+    assert len(ear_clip(collinear)) == 0
+    # bowtie (self-intersecting): ear scan stalls with 4 vertices left
+    bowtie = np.array([[0, 0], [2, 2], [2, 0], [0, 2]], dtype=float)
+    tris = ear_clip(bowtie)
+    assert len(tris) in (0, 2)  # clipped clean or rejected — never 1 bogus tri
+    # a healthy triangle still passes through untouched
+    tri = np.array([[0, 0], [4, 0], [0, 4]], dtype=float)
+    assert len(ear_clip(tri)) == 1

@@ -44,6 +44,17 @@ def test_sessionize_stream_matches_batch(spark, sf_smoke, tmp_path):
     pdf[pdf["tse"] <= mid].to_parquet(d / "a.parquet", index=False)
     time.sleep(1.1)
     pdf[pdf["tse"] > mid].to_parquet(d / "b.parquet", index=False)
+    time.sleep(1.1)
+    # drain: one NULL-ve4 sentinel per key, far enough in the future to push
+    # the watermark past every open session's timeout
+    sentinel = pd.DataFrame(
+        {
+            "event_type": sorted(pdf["event_type"].unique()),
+            "tse": int(pdf["tse"].max()) + GAP * 10,
+            "ve4": pd.array([None] * pdf["event_type"].nunique(), dtype="Int64"),
+        }
+    )
+    sentinel.to_parquet(d / "c.parquet", index=False)
 
     src = (
         spark.readStream.schema("event_type string, tse long, ve4 long")
@@ -65,8 +76,8 @@ def test_sessionize_stream_matches_batch(spark, sf_smoke, tmp_path):
         for _, r in got.iterrows()
     }
     expected_closed, last_open = _batch_sessions(pdf)
-    # every emitted session must be a true closed session, and every closed
-    # session except (possibly) each type's final one must be emitted
-    assert got_set == expected_closed
-    assert not (got_set & last_open)
+    # with the sentinel drain EVERY session is emitted exactly once —
+    # including each key's trailing open session
+    assert len(got) == len(got_set)  # no double emission
+    assert got_set == expected_closed | last_open
     assert len(expected_closed) > 10  # real coverage, not a trivial pass

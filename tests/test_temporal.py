@@ -86,8 +86,11 @@ def test_timestamps_and_lineage(spark, tmp_path):
 
 def test_collapse_fusions_and_subdivisions(spark, tmp_path):
     """H6 stages 2-3 (temporal_graph.py:1013-1112): fusion absorbs same-date
-    ancestors (in-edges rewired down); subdivision absorbs same-date
-    descendants (out-edges rewired up)."""
+    ancestors (in-edges rewired down to the heir); subdivision REMOVES the
+    subdivided node — its descendants survive with the node's start date,
+    and with a single ancestor the subdivision edges are retagged
+    'subdivided,modified' and rewired up to it
+    (split_edge_and_remove_descendant, temporal_graph.py:732-773)."""
     import json as _json
 
     from py3dtilers_spark.operators.temporal import (
@@ -122,15 +125,17 @@ def test_collapse_fusions_and_subdivisions(spark, tmp_path):
 
     from py3dtilers_spark.operators.temporal import aggregate_transactions
 
+    rows = aggregate_transactions(ded).collect()
     txs = {
         (r["tx_type"], tuple(r["sources"]), tuple(r["destinations"]),
          r["start_year"], r["end_year"], r["is_aggregate"])
-        for r in aggregate_transactions(ded).collect()
+        for r in rows
     }
     assert ("union", ("2009::A", "2009::B"), ("2012::AB",), 2009, 2012, False) in txs
     assert (
         "division", ("2012::AB",), ("2015::AB1", "2015::AB2"), 2012, 2015, False
     ) in txs
+    assert all(r["transactions"] == [] for r in rows)  # no aggregate here
 
     n2, e2 = collapse_fusions(rec, ded)
     gids = {r["gid"]: r["start_year"] for r in n2.collect()}
@@ -142,10 +147,62 @@ def test_collapse_fusions_and_subdivisions(spark, tmp_path):
     assert not any(t == "fused" for _, _, t in e2_set)
 
     n3, e3 = collapse_subdivisions(n2, e2)
-    gids3 = {r["gid"] for r in n3.collect()}
-    # AB1/AB2 absorbed into AB; AB2's out-edge rewired up to AB
-    assert "2015::AB1" not in gids3 and "2015::AB2" not in gids3
-    assert "2012::AB" in gids3 and "2018::Z" in gids3
+    gids3 = {r["gid"]: r["start_year"] for r in n3.collect()}
+    # AB (the subdivided node) is removed; AB1/AB2 survive with AB's
+    # inherited 2009 start; the subdivision edges are retagged and rewired
+    # up to AB's single ancestor A0; AB's own in-edge disappears
+    assert "2012::AB" not in gids3
+    assert gids3["2015::AB1"] == 2009 and gids3["2015::AB2"] == 2009
+    assert "2018::Z" in gids3 and "2006::A0" in gids3
     e3_set = {(r["src_gid"], r["dst_gid"], r["tags"]) for r in e3.collect()}
-    assert ("2012::AB", "2018::Z", "modified") in e3_set
-    assert not any(t == "subdivided" for _, _, t in e3_set)
+    assert e3_set == {
+        ("2006::A0", "2015::AB1", "subdivided,modified"),
+        ("2006::A0", "2015::AB2", "subdivided,modified"),
+        ("2015::AB2", "2018::Z", "modified"),
+    }
+
+
+def test_requalification_aggregate(spark, tmp_path):
+    """H7 re-qualification (CityTemporalTiler.py:143-166): a node whose >= 2
+    in-edges are ALL plain 'modified' gets them re-tagged fused, and the
+    union pass emits a TransactionAggregate nesting [union, modification]
+    children that replicate the shared attributes (:216-226)."""
+    import json as _json
+
+    from py3dtilers_spark.operators.temporal import aggregate_transactions
+
+    graph = {
+        "nodes": [
+            {"id": "1", "globalid": "2009::P"},
+            {"id": "2", "globalid": "2009::Q"},
+            {"id": "3", "globalid": "2012::R"},
+        ],
+        "edges": [
+            {"id": "1", "source": "1", "target": "3", "type": "replace", "tags": "modified"},
+            {"id": "2", "source": "2", "target": "3", "type": "replace", "tags": "modified"},
+        ],
+    }
+    p = tmp_path / "graph_req.json"
+    p.write_text(_json.dumps(graph))
+    nodes, edges = read_temporal_graphs(spark, [str(p)])
+    ded = dedup_edges(resolve_edges(edges, nodes))
+
+    rows = aggregate_transactions(ded).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["tx_type"] == "aggregate" and r["is_aggregate"]
+    assert r["sources"] == ["2009::P", "2009::Q"]
+    assert r["destinations"] == ["2012::R"]
+    assert (r["start_year"], r["end_year"]) == (2009, 2012)
+    kids = [(c["tx_type"], c["sources"], c["destinations"],
+             c["start_year"], c["end_year"]) for c in r["transactions"]]
+    assert kids == [
+        ("union", ["2009::P", "2009::Q"], ["2012::R"], 2009, 2012),
+        ("modification", ["2009::P", "2009::Q"], ["2012::R"], 2009, 2012),
+    ]
+    # the 1-1 modification pass must NOT fire (in-degree 2)
+    tx = transactions(ded).collect()
+    assert tx == []
+
+    # without re-qualification the fan-in stays invisible
+    assert aggregate_transactions(ded, requalify=False).collect() == []
