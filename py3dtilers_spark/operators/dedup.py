@@ -30,6 +30,11 @@ _MINHASH_AB = [
 ]
 N_BANDS = 4
 ROWS_PER_BAND = 4
+# LSH bucket-size cap: buckets larger than this are near-identical spam
+# clusters whose quadratic pair expansion dominates at 100 TB — dropped in
+# BOTH engines (same pattern as the Jaccard shingle df-cap,
+# queries._JACCARD_DF_CAP). 10^4 is a no-op at sandbox scale.
+MAX_BUCKET = 10000
 
 # shingle id: low 60 bits of md5, reduced mod P (identical in DuckDB via
 # CAST('0x'||substr(md5(sh),1,15) AS BIGINT) — verified in parity_probe)
@@ -84,16 +89,16 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     inside each bucket — the signature subtree executes exactly once,
     versus the naive per-band-union self-join that re-runs the
     explode + 16-min-agg tree 2x per band (8x here). Bucket pair expansion
-    is quadratic per bucket by definition of LSH; at 100 TB a bucket-size
-    cap (drop/flag buckets > ~10^4 members, they are near-identical spam
-    clusters anyway) bounds the blowup."""
+    is quadratic per bucket by definition of LSH; buckets larger than
+    MAX_BUCKET (near-identical spam clusters) are dropped to bound the
+    blowup at 100 TB — mirrored in the oracle."""
     sigs = minhash_signatures(docs)
     band_arr = "array(" + ", ".join(_band_key_sql(b) for b in range(N_BANDS)) + ")"
     bands = sigs.selectExpr("doc_id", f"posexplode({band_arr}) AS (band, bkey)")
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .where((F.size("ids") > 1) & (F.size("ids") <= F.lit(MAX_BUCKET)))
     )
     pairs = buckets.selectExpr(
         "inline(flatten(transform(sequence(0, size(ids) - 2), "
@@ -129,6 +134,9 @@ WITH toks AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.bkey = b.bkey AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE (a.band, a.bkey) IN (
+  SELECT (band, bkey) FROM bands GROUP BY band, bkey
+  HAVING count(*) <= {MAX_BUCKET})
 GROUP BY 1, 2
 """
 

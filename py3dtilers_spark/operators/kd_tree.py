@@ -233,11 +233,13 @@ def kd_sample_walk(
 def kd_leaf_index(tiles: DataFrame) -> DataFrame:
     """Dense 0-based tile index in DFS order = lex order of path bitstrings
     (reproduces FromGeometryTreeToTileset.tile_index,
-    /root/reference/py3dtilers/Common/tileset_creation.py:23,130)."""
-    w = Window.orderBy("tile_id")
-    idx = (
-        tiles.select("tile_id").distinct()
-        .withColumn("tile_index", F.dense_rank().over(w) - 1)
+    /root/reference/py3dtilers/Common/tileset_creation.py:23,130).
+    Indexing is distributed (range-partitioned prefix sum, never a
+    single-task global window — operators/indexing.py)."""
+    from .indexing import dense_index
+
+    idx = dense_index(
+        tiles.select("tile_id").distinct(), ["tile_id"], "tile_index"
     )
     return tiles.join(F.broadcast(idx), "tile_id")
 

@@ -49,12 +49,13 @@ def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_filter_keep_ids(spark, sf_dir):
     feats = _feats(spark, sf_dir)
-    # driver-side id list -> isin, the reference's keep_ids CLI shape (a
-    # user-supplied list, inherently small). A 10^9-row id SET would instead
-    # be a semi-join against an id table — that variant is `gml_lookup_join`.
-    ids = [r["image_id"] for r in feats.where("l_orderkey % 500 = 0").select("image_id").collect()]
+    # the reference's keep_ids is a user-supplied CLI list (tiler.py:242-245)
+    # — here the id set stays a DataFrame and reaches the scan as a BROADCAST
+    # semi-join, so the same plan holds whether the list is 10 ids or an
+    # id table of 10^7 (no driver collect, no giant isin literal).
+    ids = feats.where("l_orderkey % 500 = 0").select("image_id")
     return (
-        feats.where(F.col("image_id").isin(ids))
+        feats.join(F.broadcast(ids), "image_id", "left_semi")
         .select("image_id", "fmt", "w", "h")
     )
 
@@ -295,12 +296,11 @@ GROUP BY c_mktsegment, o_orderpriority
 # deterministic dense ids via row_number over the sorted distinct set.
 
 def q_dedup_dense_index(spark, sf_dir):
+    from .operators.indexing import dense_index
+
     feats = _feats(spark, sf_dir)
-    w = Window.orderBy("w", "h")
-    return (
-        feats.select("w", "h").distinct()
-        .withColumn("dense_id", F.row_number().over(w) - 1)
-    )
+    idx = dense_index(feats.select("w", "h").distinct(), ["w", "h"], "dense_id")
+    return idx.select("w", "h", F.col("dense_id").cast("int").alias("dense_id"))
 
 
 ORACLE_DEDUP_DENSE = oracle_prelude() + """

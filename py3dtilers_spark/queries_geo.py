@@ -327,17 +327,54 @@ def _base_ring_df(spark, sf_dir):
     )
 
 
+def _per_ring(df, row_fn, schema: str):
+    """Run a per-ring kernel as ONE python stage over contiguous fid runs:
+    hash-repartition on fid, sort each partition by (fid, seq), then stream
+    Arrow batches through a single mapInPandas — a run that straddles a
+    batch boundary is carried into the next batch, so every kernel call
+    still sees its complete ring while the per-GROUP Arrow round-trip of
+    groupBy().applyInPandas (one python invocation + schema exchange per
+    tiny 6-row ring) collapses into one invocation per ~10^4-row batch.
+
+    row_fn(fid, pdf_sorted_run) -> tuple of output values."""
+    cols = [f.split(" ")[0] for f in schema.split(", ")]
+
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last = pdf["fid"].iloc[-1]
+            cut = pdf["fid"].searchsorted(last, side="left") if pdf["fid"].is_monotonic_increasing else (pdf["fid"] != last).sum()
+            head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(head):
+                yield pd.DataFrame(
+                    [row_fn(fid, g) for fid, g in head.groupby("fid", sort=False)],
+                    columns=cols,
+                )
+        if carry is not None and len(carry):
+            yield pd.DataFrame(
+                [row_fn(fid, g) for fid, g in carry.groupby("fid", sort=False)],
+                columns=cols,
+            )
+
+    return (
+        df.repartition("fid")
+        .sortWithinPartitions("fid", "seq")
+        .mapInPandas(gen, schema)
+    )
+
+
 def q_earclip(spark, sf_dir):
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
+    def fn(fid, pdf):
         ring = pdf[["vx", "vy"]].to_numpy(dtype=np.float64)
         tris = ear_clip(ring)
-        area2 = int(tri_doubled_areas(ring, tris).sum())
-        return pd.DataFrame(
-            [{"fid": pdf["fid"].iloc[0], "n_tri": len(tris), "area2": area2}]
-        )
+        return fid, len(tris), int(tri_doubled_areas(ring, tris).sum())
 
-    return _base_ring_df(spark, sf_dir).groupBy("fid").applyInPandas(fn, _EARCLIP_SCHEMA)
+    return _per_ring(_base_ring_df(spark, sf_dir), fn, _EARCLIP_SCHEMA)
 
 
 def earclip_oracle_sql() -> str:
@@ -356,20 +393,13 @@ _EXTRUDE_SCHEMA = "fid string, n_tri bigint, surface2 bigint"
 
 
 def q_extrude(spark, sf_dir):
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
+    def fn(fid, pdf):
         ring = pdf[["vx", "vy"]].to_numpy(dtype=np.float64)
         tris = prism_extrude(ring, 0.0, float(pdf["bh"].iloc[0]))
         _, dbl = triangle_normals(tris)
-        return pd.DataFrame(
-            [{
-                "fid": pdf["fid"].iloc[0],
-                "n_tri": len(tris),
-                "surface2": int(np.rint(dbl.sum())),
-            }]
-        )
+        return fid, len(tris), int(np.rint(dbl.sum()))
 
-    return _base_ring_df(spark, sf_dir).groupBy("fid").applyInPandas(fn, _EXTRUDE_SCHEMA)
+    return _per_ring(_base_ring_df(spark, sf_dir), fn, _EXTRUDE_SCHEMA)
 
 
 def extrude_oracle_sql() -> str:
@@ -389,21 +419,14 @@ _NORMALS_SCHEMA = "fid string, n_dirs bigint, surface2 bigint"
 
 
 def q_normals(spark, sf_dir):
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
+    def fn(fid, pdf):
         ring = pdf[["vx", "vy"]].to_numpy(dtype=np.float64)
         tris = prism_extrude(ring, 0.0, float(pdf["bh"].iloc[0]))
         unit, dbl = triangle_normals(tris)
         dirs = {tuple(np.round(u, 9)) for u in unit}
-        return pd.DataFrame(
-            [{
-                "fid": pdf["fid"].iloc[0],
-                "n_dirs": len(dirs),
-                "surface2": int(np.rint(dbl.sum())),
-            }]
-        )
+        return fid, len(dirs), int(np.rint(dbl.sum()))
 
-    return _base_ring_df(spark, sf_dir).groupBy("fid").applyInPandas(fn, _NORMALS_SCHEMA)
+    return _per_ring(_base_ring_df(spark, sf_dir), fn, _NORMALS_SCHEMA)
 
 
 def normals_oracle_sql() -> str:
@@ -559,10 +582,79 @@ GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# G4 alpha-shape hull (reference polygon_extrusion.py:40-60 hull stage):
+# per-feature point sets in PARABOLA position — outer points (i, i^2) are
+# strictly convex and never concyclic (4 parabola points are concyclic iff
+# their x-coords sum to 0; ours are all positive), interior points sit
+# strictly between the parabola chain and the top chord with >= 1 margin —
+# so hull size, Delaunay triangle count (Euler: 2n - 2 - h), and
+# alpha=0 boundary-edge count (== hull size) are closed-form integers.
+
+_ALPHA_SCHEMA = (
+    "fid string, n_pts bigint, hull_size bigint, n_tri bigint, a0_edges bigint"
+)
+
+
+def q_alpha_shape(spark, sf_dir):
+    from .operators.geometry import alpha_shape_edges, convex_hull, delaunay
+
+    params = _ring_sql(
+        spark, sf_dir, [RING_PARAMS_CTE],
+        "SELECT fid, h2, 5 + h2 % 4 AS n_outer, 1 + h2 % 3 AS k FROM ring_params",
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for fid, h2, n_outer, k in zip(
+            pdf["fid"], pdf["h2"], pdf["n_outer"], pdf["k"]
+        ):
+            n_outer, k = int(n_outer), int(k)
+            xs = np.arange(n_outer, dtype=np.float64)
+            outer = np.column_stack([xs, xs * xs])
+            rng = np.random.default_rng(int(h2) % (2**31))
+            inner = []
+            for j in range(1, k + 1):
+                span = j * (n_outer - 1 - j) - 1  # strict-interior slack
+                d = 1 + (int(h2) + j) % max(span, 1)
+                # y-jitter breaks accidental collinearity/cocircularity; the
+                # [0.05, 0.45] band keeps the point strictly interior even at
+                # maximal d (x stays exactly j so the chord bound d + 0.45 <
+                # j * (n_outer - 1 - j) always holds)
+                inner.append((float(j), j * j + d + rng.uniform(0.05, 0.45)))
+            pts = np.vstack([outer, np.array(inner)])
+            out.append(
+                (
+                    fid,
+                    len(pts),
+                    len(convex_hull(pts)),
+                    len(delaunay(pts)),
+                    len(alpha_shape_edges(pts, 0.0)),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["fid", "n_pts", "hull_size", "n_tri", "a0_edges"]
+        )
+
+    return params.mapInPandas(lambda it: (fn(p) for p in it), _ALPHA_SCHEMA)
+
+
+def alpha_shape_oracle_sql() -> str:
+    return oracle_prelude(extra_ctes=[RING_PARAMS_CTE]) + """
+SELECT fid,
+       CAST((5 + h2 % 4) + (1 + h2 % 3) AS BIGINT) AS n_pts,
+       CAST(5 + h2 % 4 AS BIGINT) AS hull_size,
+       CAST((5 + h2 % 4) + 2 * (1 + h2 % 3) - 2 AS BIGINT) AS n_tri,
+       CAST(5 + h2 % 4 AS BIGINT) AS a0_edges
+FROM ring_params
+"""
+
+
 def register(queries: dict) -> None:
     queries.update(
         {
             "pip_rings_first_match": (q_pip_rings, pip_rings_oracle_sql()),
+            "alpha_shape": (q_alpha_shape, alpha_shape_oracle_sql()),
             "ring_dedup": (q_ring_dedup, ring_dedup_oracle_sql()),
             "clockwise_rings": (q_clockwise_rings, clockwise_oracle_sql()),
             "zup_yup": (q_zup_yup, zup_oracle_sql()),

@@ -193,8 +193,11 @@ def write_obj_boxes(tree_leaves: DataFrame, path: str) -> int:
         )
     )
     uniq = verts.select("vx", "vy", "vz").distinct()
-    wdense = Window.orderBy("vx", "vy", "vz")
-    indexed = uniq.withColumn("vid", F.row_number().over(wdense))  # 1-based OBJ ids
+    # 1-based OBJ ids via the distributed dense indexer (no single-task
+    # global window — operators/indexing.py)
+    from ..operators.indexing import dense_index
+
+    indexed = dense_index(uniq, ["vx", "vy", "vz"], "vid", base=1)
     remap = verts.join(indexed, ["vx", "vy", "vz"]).select("tile_id", "ci", "vid")
 
     tris = spark.createDataFrame(
