@@ -106,46 +106,56 @@ def tile_tree_from_stats(leaf_stats: DataFrame) -> DataFrame:
     )
 
 
-def manifest(tree_df: DataFrame) -> dict:
-    """Collect the (small) tile tree and emit a tileset.json-shaped dict
-    (reference: TileSet serialization, tileset_creation.py:27-55). The tree
-    has ~2 * n_leaves nodes — thousands, not billions — so driver collect is
-    the correct move, exactly like the reference's tileset.json write."""
-    rows = {r["tile_id"]: r.asDict() for r in tree_df.collect()}
+def _node_dict(rows: dict, children: dict, tid: str) -> dict:
+    """One tileset.json node from a plain row dict (shared by the driver
+    manifest build and the per-shard executor build)."""
+    r = rows[tid]
+    cx = (r["xmin"] + r["xmax"]) / 2.0
+    cy = (r["ymin"] + r["ymax"]) / 2.0
+    cz = (r["zmin"] + r["zmax"]) / 2.0
+    hx = (r["xmax"] - r["xmin"]) / 2.0
+    hy = (r["ymax"] - r["ymin"]) / 2.0
+    hz = (r["zmax"] - r["zmin"]) / 2.0
+    return {
+        "boundingVolume": {
+            # 3D Tiles spec box: center + three half-axis vectors (the
+            # 12-number form py3dtiles emits for the reference)
+            "box": [cx, cy, cz, hx, 0.0, 0.0, 0.0, hy, 0.0, 0.0, 0.0, hz],
+        },
+        # engine-internal min/max sextuple (merge + tests read this)
+        "bboxMinMax": [
+            r["xmin"], r["ymin"], r["zmin"], r["xmax"], r["ymax"], r["zmax"]
+        ],
+        "geometricError": r["geometric_error"],
+        "refine": "ADD",
+        "tile_id": tid,
+        "n_features": r["n_features"],
+        "children": [
+            _node_dict(rows, children, c) for c in sorted(children.get(tid, []))
+        ],
+    }
+
+
+def _children_map(rows: dict) -> dict:
     children: dict[str, list[str]] = {}
     for tid in rows:
         if tid:
             children.setdefault(tid[:-1], []).append(tid)
+    return children
 
-    def node(tid: str) -> dict:
-        r = rows[tid]
-        cx = (r["xmin"] + r["xmax"]) / 2.0
-        cy = (r["ymin"] + r["ymax"]) / 2.0
-        cz = (r["zmin"] + r["zmax"]) / 2.0
-        hx = (r["xmax"] - r["xmin"]) / 2.0
-        hy = (r["ymax"] - r["ymin"]) / 2.0
-        hz = (r["zmax"] - r["zmin"]) / 2.0
-        return {
-            "boundingVolume": {
-                # 3D Tiles spec box: center + three half-axis vectors (the
-                # 12-number form py3dtiles emits for the reference)
-                "box": [cx, cy, cz, hx, 0.0, 0.0, 0.0, hy, 0.0, 0.0, 0.0, hz],
-            },
-            # engine-internal min/max sextuple (merge + tests read this)
-            "bboxMinMax": [
-                r["xmin"], r["ymin"], r["zmin"], r["xmax"], r["ymax"], r["zmax"]
-            ],
-            "geometricError": r["geometric_error"],
-            "refine": "ADD",
-            "tile_id": tid,
-            "n_features": r["n_features"],
-            "children": [node(c) for c in sorted(children.get(tid, []))],
-        }
 
+def manifest(tree_df: DataFrame) -> dict:
+    """Collect the (small) tile tree and emit a tileset.json-shaped dict
+    (reference: TileSet serialization, tileset_creation.py:27-55). The tree
+    has ~2 * n_leaves nodes — thousands, not billions — so driver collect is
+    the correct move, exactly like the reference's tileset.json write. At
+    tile counts beyond driver memory use write_manifest_sharded instead."""
+    rows = {r["tile_id"]: r.asDict() for r in tree_df.collect()}
+    children = _children_map(rows)
     return {
         "asset": {"version": "1.0", "generator": "py3dtilers_spark"},
         "geometricError": rows[""]["geometric_error"] if "" in rows else LEAF_GE,
-        "root": node("") if "" in rows else {},
+        "root": _node_dict(rows, children, "") if "" in rows else {},
     }
 
 
@@ -173,3 +183,120 @@ def check_nesting(tree_df: DataFrame) -> int:
 def write_manifest(tree_df: DataFrame, path: str) -> None:
     with open(path, "w") as fh:
         json.dump(manifest(tree_df), fh)
+
+
+def write_manifest_sharded(tree_df: DataFrame, out_dir: str, shard_depth: int = 2) -> dict:
+    """K2 at 100x scale: the driver never holds the whole tree. Every
+    depth-`shard_depth` subtree is serialized to its own
+    ``sub/tileset_<prefix>.json`` BY THE EXECUTORS (one applyInPandas group
+    per prefix, writing to the shared filesystem / object store); the root
+    tileset.json holds only levels < shard_depth plus one stub child per
+    shard whose ``content.uri`` points at the external tileset — the 3D
+    Tiles external-tileset mechanism (the same device the reference's
+    TilesetMerger leans on, TilesetMerger.py:37-58). Driver memory is
+    O(2^shard_depth + #shards), independent of leaf count.
+
+    Returns the root manifest dict (with stub children)."""
+    import os
+
+    sub = os.path.join(out_dir, "sub")
+    os.makedirs(sub, exist_ok=True)
+    deep = tree_df.where(F.length("tile_id") >= shard_depth).withColumn(
+        "_shard", F.expr(f"substring(tile_id, 1, {shard_depth})")
+    )
+
+    summary_schema = (
+        "tile_id string, uri string, n_features bigint, geometric_error double,"
+        " xmin double, xmax double, ymin double, ymax double,"
+        " zmin double, zmax double"
+    )
+
+    def write_shard(pdf):
+        import json as _json
+
+        import pandas as _pd
+
+        shard = pdf["_shard"].iloc[0]
+        rows = {
+            r["tile_id"]: r for r in pdf.drop(columns=["_shard"]).to_dict("records")
+        }
+        children = _children_map(rows)
+        root = _node_dict(rows, children, shard)
+        uri = f"sub/tileset_{shard}.json"
+        with open(os.path.join(out_dir, uri), "w") as fh:
+            _json.dump(
+                {
+                    "asset": {"version": "1.0", "generator": "py3dtilers_spark"},
+                    "geometricError": root["geometricError"],
+                    "root": root,
+                },
+                fh,
+            )
+        r = rows[shard]
+        return _pd.DataFrame(
+            [
+                (
+                    shard, uri, r["n_features"], r["geometric_error"],
+                    r["xmin"], r["xmax"], r["ymin"], r["ymax"],
+                    r["zmin"], r["zmax"],
+                )
+            ],
+            columns=[
+                "tile_id", "uri", "n_features", "geometric_error",
+                "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+            ],
+        )
+
+    shard_rows = {
+        r["tile_id"]: r.asDict()
+        for r in deep.groupBy("_shard").applyInPandas(write_shard, summary_schema).collect()
+    }
+    top_rows = {
+        r["tile_id"]: r.asDict()
+        for r in tree_df.where(F.length("tile_id") < shard_depth).collect()
+    }
+    rows = {**top_rows, **shard_rows}
+    children = _children_map(rows)
+    root = _node_dict(rows, children, "") if "" in rows else {}
+
+    def stubify(node: dict) -> dict:
+        if node["tile_id"] in shard_rows:
+            node = dict(node)
+            node["content"] = {"uri": shard_rows[node["tile_id"]]["uri"]}
+            node["children"] = []
+        else:
+            node["children"] = [stubify(c) for c in node["children"]]
+        return node
+
+    m = {
+        "asset": {"version": "1.0", "generator": "py3dtilers_spark"},
+        "geometricError": rows[""]["geometric_error"] if "" in rows else LEAF_GE,
+        "root": stubify(root) if root else {},
+    }
+    with open(os.path.join(out_dir, "tileset.json"), "w") as fh:
+        json.dump(m, fh)
+    return m
+
+
+def read_manifest_resolved(out_dir: str) -> dict:
+    """Load a (possibly sharded) tileset.json, splicing every external
+    tileset referenced via ``content.uri`` back into one in-memory tree —
+    the inverse of write_manifest_sharded; resolved output is structurally
+    identical to the single-file manifest()."""
+    import os
+
+    with open(os.path.join(out_dir, "tileset.json")) as fh:
+        m = json.load(fh)
+
+    def resolve(node: dict) -> dict:
+        uri = node.get("content", {}).get("uri", "")
+        if uri.endswith(".json"):
+            with open(os.path.join(out_dir, uri)) as fh:
+                ext = json.load(fh)
+            return resolve(ext["root"])
+        node["children"] = [resolve(c) for c in node.get("children", [])]
+        return node
+
+    if m.get("root"):
+        m["root"] = resolve(m["root"])
+    return m

@@ -194,6 +194,7 @@ def run_tiler(
     features: "DataFrame | None" = None,
     payload_source: str = "synth",
     n_rows_hint: int | None = None,
+    manifest_shard_depth: int | None = None,
 ) -> dict:
     """Execute the pipeline; returns summary metrics (incl. per-phase secs).
 
@@ -357,19 +358,28 @@ def run_tiler(
 
     t0 = _t()
     os.makedirs(out_dir, exist_ok=True)
-    # single collect: the manifest dict also answers the leaf/feature counts
-    # (three separate actions on the tiny tree still cost a job each)
-    m = manifest(tree)
-    with open(os.path.join(out_dir, "tileset.json"), "w") as fh:
-        json.dump(m, fh)
+    if manifest_shard_depth is not None:
+        # 100x path: executors write per-prefix subtree tilesets, the driver
+        # holds only the top levels + one summary row per shard
+        from ..operators.hierarchy import write_manifest_sharded
 
-    def _leaves(node) -> int:
-        if not node.get("children"):
-            return 1
-        return sum(_leaves(c) for c in node["children"])
+        m = write_manifest_sharded(tree, out_dir, manifest_shard_depth)
+        n_leaves = tree.where("is_leaf").count()
+        n_features = m["root"].get("n_features", 0) if m.get("root") else 0
+    else:
+        # single collect: the manifest dict also answers the leaf/feature
+        # counts (three separate actions on the tiny tree cost a job each)
+        m = manifest(tree)
+        with open(os.path.join(out_dir, "tileset.json"), "w") as fh:
+            json.dump(m, fh)
 
-    n_leaves = _leaves(m["root"]) if m.get("root") else 0
-    n_features = m["root"].get("n_features", 0) if m.get("root") else 0
+        def _leaves(node) -> int:
+            if not node.get("children"):
+                return 1
+            return sum(_leaves(c) for c in node["children"])
+
+        n_leaves = _leaves(m["root"]) if m.get("root") else 0
+        n_features = m["root"].get("n_features", 0) if m.get("root") else 0
     timings["manifest"] = _t() - t0
     if payload_source != "column":
         base.unpersist()

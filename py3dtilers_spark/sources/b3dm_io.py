@@ -28,38 +28,92 @@ def _pad(b: bytes, align: int = 4, fill: bytes = b" ") -> bytes:
     return b + fill * (-len(b) % align)
 
 
-def encode_glb(positions: np.ndarray, batch_ids: np.ndarray) -> bytes:
-    """positions: (N, 3) float32; batch_ids: (N,) float32 -> GLB bytes."""
+def encode_glb(
+    positions: np.ndarray,
+    batch_ids: np.ndarray,
+    uvs: np.ndarray | None = None,
+    colors: np.ndarray | None = None,
+    image: bytes | None = None,
+    mime: str = "image/png",
+) -> bytes:
+    """positions (N,3) + batch_ids (N,) float32, optional TEXCOORD_0 uvs
+    (N,2), COLOR_0 (N,3) and an embedded texture image -> GLB bytes.
+
+    The textured form matches what the reference reads back
+    (TilesetReader/reader_utils.py:35-56 TEXCOORD_0/COLOR_0 accessors): the
+    image rides the binary chunk via its own bufferView, referenced by
+    images[0] -> textures[0] -> materials[0].pbrMetallicRoughness
+    .baseColorTexture, and the primitive points at material 0."""
     pos = np.ascontiguousarray(positions, dtype=np.float32)
     bid = np.ascontiguousarray(batch_ids, dtype=np.float32)
     n = len(pos)
-    pos_b = pos.tobytes()
-    bid_b = bid.tobytes()
-    bin_chunk = _pad(pos_b, 4, b"\0") + _pad(bid_b, 4, b"\0")
+
+    parts: list[bytes] = []
+    views: list[dict] = []
+    offset = 0
+
+    def add_view(raw: bytes) -> int:
+        nonlocal offset
+        views.append({"buffer": 0, "byteOffset": offset, "byteLength": len(raw)})
+        padded = _pad(raw, 4, b"\0")
+        parts.append(padded)
+        offset += len(padded)
+        return len(views) - 1
+
+    accessors = [
+        {
+            "bufferView": add_view(pos.tobytes()), "byteOffset": 0,
+            "componentType": 5126, "count": n, "type": "VEC3",
+            "min": [float(v) for v in pos.min(axis=0)] if n else [0, 0, 0],
+            "max": [float(v) for v in pos.max(axis=0)] if n else [0, 0, 0],
+        },
+        {
+            "bufferView": add_view(bid.tobytes()), "byteOffset": 0,
+            "componentType": 5126, "count": n, "type": "SCALAR",
+        },
+    ]
+    attributes = {"POSITION": 0, "_BATCHID": 1}
+    if uvs is not None:
+        uv = np.ascontiguousarray(uvs, dtype=np.float32)
+        attributes["TEXCOORD_0"] = len(accessors)
+        accessors.append(
+            {
+                "bufferView": add_view(uv.tobytes()), "byteOffset": 0,
+                "componentType": 5126, "count": len(uv), "type": "VEC2",
+            }
+        )
+    if colors is not None:
+        col = np.ascontiguousarray(colors, dtype=np.float32)
+        attributes["COLOR_0"] = len(accessors)
+        accessors.append(
+            {
+                "bufferView": add_view(col.tobytes()), "byteOffset": 0,
+                "componentType": 5126, "count": len(col), "type": "VEC3",
+            }
+        )
+
+    prim = {"attributes": attributes, "mode": 4}
     gltf = {
         "asset": {"version": "2.0"},
         "scene": 0,
         "scenes": [{"nodes": [0]}],
         "nodes": [{"mesh": 0}],
-        "meshes": [{"primitives": [{"attributes": {"POSITION": 0, "_BATCHID": 1}, "mode": 4}]}],
-        "buffers": [{"byteLength": len(bin_chunk)}],
-        "bufferViews": [
-            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos_b)},
-            {"buffer": 0, "byteOffset": len(_pad(pos_b, 4, b"\0")), "byteLength": len(bid_b)},
-        ],
-        "accessors": [
-            {
-                "bufferView": 0, "byteOffset": 0, "componentType": 5126,
-                "count": n, "type": "VEC3",
-                "min": [float(v) for v in pos.min(axis=0)] if n else [0, 0, 0],
-                "max": [float(v) for v in pos.max(axis=0)] if n else [0, 0, 0],
-            },
-            {
-                "bufferView": 1, "byteOffset": 0, "componentType": 5126,
-                "count": n, "type": "SCALAR",
-            },
-        ],
+        "meshes": [{"primitives": [prim]}],
+        "accessors": accessors,
     }
+    if image is not None:
+        img_view = add_view(image)
+        gltf["images"] = [{"bufferView": img_view, "mimeType": mime}]
+        gltf["samplers"] = [{"magFilter": 9729, "minFilter": 9729}]
+        gltf["textures"] = [{"source": 0, "sampler": 0}]
+        gltf["materials"] = [
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0}}}
+        ]
+        prim["material"] = 0
+
+    bin_chunk = b"".join(parts)
+    gltf["buffers"] = [{"byteLength": len(bin_chunk)}]
+    gltf["bufferViews"] = views
     json_chunk = _pad(json.dumps(gltf, separators=(",", ":")).encode())
     total = 12 + 8 + len(json_chunk) + 8 + len(bin_chunk)
     return b"".join(
@@ -73,8 +127,11 @@ def encode_glb(positions: np.ndarray, batch_ids: np.ndarray) -> bytes:
     )
 
 
-def decode_glb(blob: bytes):
-    """GLB -> (positions (N,3) float32, batch_ids (N,) float32)."""
+def decode_glb_full(blob: bytes) -> dict:
+    """GLB -> {'pos', 'bid', 'uv', 'color', 'image', 'mime', 'material'}
+    (uv/color/image None when the accessor/texture is absent). Accessor
+    reads are ONE numpy frombuffer each — the vectorized inversion of the
+    reference's per-element struct.unpack loops (reader_utils.py:32-66)."""
     magic, version, _ = struct.unpack_from("<III", blob, 0)
     if magic != _GLB_MAGIC or version != 2:
         raise ValueError("not a GLB v2 blob")
@@ -91,6 +148,7 @@ def decode_glb(blob: bytes):
         elif ctype == _BIN_CHUNK:
             binary = chunk
     prim = gltf["meshes"][0]["primitives"][0]
+    attrs = prim["attributes"]
 
     def _accessor(idx, ncomp):
         acc = gltf["accessors"][idx]
@@ -100,20 +158,53 @@ def decode_glb(blob: bytes):
         # vectorized: ONE frombuffer per accessor, not a per-element loop
         return np.frombuffer(binary, dtype=np.float32, count=count * ncomp, offset=start)
 
-    pos = _accessor(prim["attributes"]["POSITION"], 3).reshape(-1, 3)
-    bid = _accessor(prim["attributes"]["_BATCHID"], 1)
-    return pos, bid
+    out = {
+        "pos": _accessor(attrs["POSITION"], 3).reshape(-1, 3),
+        "bid": _accessor(attrs["_BATCHID"], 1),
+        "uv": None,
+        "color": None,
+        "image": None,
+        "mime": None,
+        "material": prim.get("material"),
+    }
+    if "TEXCOORD_0" in attrs:
+        out["uv"] = _accessor(attrs["TEXCOORD_0"], 2).reshape(-1, 2)
+    if "COLOR_0" in attrs:
+        out["color"] = _accessor(attrs["COLOR_0"], 3).reshape(-1, 3)
+    if prim.get("material") is not None and gltf.get("images"):
+        tex = gltf["materials"][prim["material"]]["pbrMetallicRoughness"][
+            "baseColorTexture"
+        ]["index"]
+        img = gltf["images"][gltf["textures"][tex]["source"]]
+        bv = gltf["bufferViews"][img["bufferView"]]
+        start = bv.get("byteOffset", 0)
+        out["image"] = binary[start : start + bv["byteLength"]]
+        out["mime"] = img.get("mimeType")
+    return out
+
+
+def decode_glb(blob: bytes):
+    """GLB -> (positions (N,3) float32, batch_ids (N,) float32)."""
+    full = decode_glb_full(blob)
+    return full["pos"], full["bid"]
 
 
 def encode_b3dm(
-    positions: np.ndarray, batch_ids: np.ndarray, batch_table: dict
+    positions: np.ndarray,
+    batch_ids: np.ndarray,
+    batch_table: dict,
+    uvs: np.ndarray | None = None,
+    colors: np.ndarray | None = None,
+    image: bytes | None = None,
+    mime: str = "image/png",
 ) -> bytes:
     """b3dm container (28-byte header + FeatureTable/BatchTable JSON + GLB),
-    the tile-content format py3dtiles writes for the reference."""
+    the tile-content format py3dtiles writes for the reference. Pass uvs +
+    image for a textured tile (TEXCOORD_0 + embedded atlas material)."""
     n_batch = int(batch_ids.max()) + 1 if len(batch_ids) else 0
     ft = _pad(json.dumps({"BATCH_LENGTH": n_batch}, separators=(",", ":")).encode())
     bt = _pad(json.dumps(batch_table, separators=(",", ":")).encode())
-    glb = encode_glb(positions, batch_ids)
+    glb = encode_glb(positions, batch_ids, uvs=uvs, colors=colors, image=image, mime=mime)
     total = 28 + len(ft) + len(bt) + len(glb)
     header = struct.pack("<4sIIIIII", b"b3dm", 1, total, len(ft), 0, len(bt), 0)
     return header + ft + bt + glb
@@ -121,6 +212,13 @@ def encode_b3dm(
 
 def decode_b3dm(blob: bytes):
     """b3dm -> (positions, batch_ids, feature_table dict, batch_table dict)."""
+    pos, bid, ft, bt, _ = decode_b3dm_full(blob)
+    return pos, bid, ft, bt
+
+
+def decode_b3dm_full(blob: bytes):
+    """b3dm -> (positions, batch_ids, feature_table, batch_table, glb_full)
+    where glb_full is decode_glb_full's dict (uv / color / image / mime)."""
     magic, version, _, ftj, ftb, btj, btb = struct.unpack_from("<4sIIIIII", blob, 0)
     if magic != b"b3dm" or version != 1:
         raise ValueError("not a b3dm v1 blob")
@@ -129,5 +227,5 @@ def decode_b3dm(blob: bytes):
     off += ftj + ftb
     bt = json.loads(blob[off : off + btj].decode()) if btj else {}
     off += btj + btb
-    pos, bid = decode_glb(blob[off:])
-    return pos, bid, ft, bt
+    full = decode_glb_full(blob[off:])
+    return full["pos"], full["bid"], ft, bt, full

@@ -62,3 +62,40 @@ def test_manifest_shape(spark, sf_smoke):
 
     for c in m["root"]["children"]:
         walk(c, m["root"]["geometricError"])
+
+
+def test_sharded_manifest_resolves_to_single(spark, sf_smoke, tmp_path):
+    """K2 at 100x: executor-written per-prefix subtree tilesets + a stub
+    root must resolve (external-tileset splice) to EXACTLY the single-file
+    manifest — and the root file must hold only levels < shard_depth."""
+    import json
+    import os
+
+    from py3dtilers_spark.operators.hierarchy import (
+        read_manifest_resolved,
+        write_manifest_sharded,
+    )
+
+    tree = _tree(spark, sf_smoke)
+    single = manifest(tree)
+    out = str(tmp_path / "sharded")
+    os.makedirs(out, exist_ok=True)
+    stub = write_manifest_sharded(tree, out, shard_depth=2)
+
+    # stub root holds no node deeper than shard_depth
+    def depth(node):
+        kids = node.get("children", [])
+        return 1 + max((depth(c) for c in kids), default=0)
+
+    assert depth(stub["root"]) <= 3  # levels 0, 1, 2 (stub)
+    subs = os.listdir(os.path.join(out, "sub"))
+    assert len(subs) == len(
+        {r["tile_id"][:2] for r in tree.where("length(tile_id) >= 2").collect()}
+    )
+    for s in subs:
+        with open(os.path.join(out, "sub", s)) as fh:
+            ext = json.load(fh)
+        assert ext["root"]["tile_id"] == s[len("tileset_"):-len(".json")]
+
+    resolved = read_manifest_resolved(out)
+    assert resolved == single

@@ -96,3 +96,22 @@ def test_manifest_written(spark, sf_smoke, tmp_path):
     with open(os.path.join(out, "tileset.json")) as fh:
         m = json.load(fh)
     assert m["root"]["geometricError"] == 500.0
+
+
+def test_pipeline_with_sharded_manifest(spark, sf_smoke, tmp_path):
+    """Full pipeline with manifest sharding on: root tileset.json is a stub
+    referencing executor-written sub/tileset_*.json files, and the resolved
+    tree equals the unsharded run's manifest byte-for-byte."""
+    from py3dtilers_spark.operators.hierarchy import read_manifest_resolved
+
+    out_a = str(tmp_path / "plain")
+    out_b = str(tmp_path / "sharded")
+    ra = run_tiler(spark, sf_smoke, out_a, with_payload=False)
+    rb = run_tiler(
+        spark, sf_smoke, out_b, with_payload=False, manifest_shard_depth=2
+    )
+    assert (ra["n_features"], ra["n_tiles"]) == (rb["n_features"], rb["n_tiles"])
+    with open(os.path.join(out_a, "tileset.json")) as fh:
+        plain = json.load(fh)
+    assert read_manifest_resolved(out_b) == plain
+    assert os.listdir(os.path.join(out_b, "sub"))
