@@ -12,9 +12,14 @@ relationships (containment) are resolved with joins over the extracted
 (get_decomposition) re-expresses relationally.
 
 Covered subset: entity table, cartesian points (geometry bbox), products,
-spatial-containment grouping. Full BRep geometry evaluation is out of scope
-(it needs the IFC schema engine); the tiling pipeline consumes the point
-cloud + product table, which is what kd/tile assignment needs.
+spatial-containment grouping, and SWEPT-SOLID geometry evaluation
+(IfcExtrudedAreaSolid over arbitrary-closed / rectangle profiles ->
+triangle meshes + bboxes via the oracle-green G2 earclip + G3 extrude
+kernels — the subset of ifcopenshell's create_shape the reference leans on
+for walls/slabs, ifcObjectGeom.py:74-130). Full BRep (curved surfaces,
+booleans, mapped items, placement transforms) still needs the IFC schema
+engine and remains out of scope; solids are evaluated in profile-local
+coordinates.
 """
 from __future__ import annotations
 
@@ -115,6 +120,189 @@ def ifc_group_by_class_and_container(entities: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_products"),
             F.sort_array(F.collect_list("global_id")).alias("global_ids"),
         )
+    )
+
+
+_NUM_RE = r"([0-9][0-9.Ee+\-]*)\s*$"
+
+
+def ifc_swept_solids(entities: DataFrame) -> DataFrame:
+    """IFCEXTRUDEDAREASOLID rows -> (solid_id, profile_id, depth)."""
+    return entities.where(F.col("ifc_class") == "IFCEXTRUDEDAREASOLID").select(
+        F.col("entity_id").alias("solid_id"),
+        F.regexp_extract("args", r"^#(\d+)", 1).cast("bigint").alias("profile_id"),
+        F.regexp_extract("args", _NUM_RE, 1).cast("double").alias("depth"),
+    )
+
+
+def ifc_product_solids(entities: DataFrame) -> DataFrame:
+    """Product -> solid linkage through the representation chain
+    (IfcProduct.Representation -> IfcProductDefinitionShape.Representations
+    -> IfcShapeRepresentation.Items): three equi-joins over extracted #refs,
+    the relational form of the reference's ifcObject.Representation walk
+    (ifcObjectGeom.py:77-87)."""
+    # IfcProduct.Representation sits at a subtype-dependent argument slot
+    # (IfcSlab/IfcDoor append trailing attributes), so instead of position
+    # we explode EVERY #ref of the product row and let the equi-join against
+    # the IFCPRODUCTDEFINITIONSHAPE entity set pick the representation one.
+    prods = (
+        entities.where(F.col("ifc_class").isin(*PRODUCT_CLASSES))
+        .select(
+            "entity_id",
+            "ifc_class",
+            F.regexp_extract("args", r"^'([^']*)'", 1).alias("global_id"),
+            F.explode(
+                F.expr(r"regexp_extract_all(args, '#(\\d+)', 1)")
+            ).alias("ref_s"),
+        )
+        .select(
+            "entity_id", "ifc_class", "global_id",
+            F.col("ref_s").cast("bigint").alias("pds_id"),
+        )
+    )
+    # the trailing parenthesized ref-list of PDS / ShapeRepresentation args
+    tail_list = r"\(([^()]*)\)\s*$"
+    pds = (
+        entities.where(F.col("ifc_class") == "IFCPRODUCTDEFINITIONSHAPE")
+        .select(
+            F.col("entity_id").alias("pds_id"),
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.regexp_extract("args", tail_list, 1), r"[#\s]", ""
+                    ),
+                    ",",
+                )
+            ).alias("rep_s"),
+        )
+        .select("pds_id", F.col("rep_s").cast("bigint").alias("rep_id"))
+    )
+    reps = (
+        entities.where(F.col("ifc_class") == "IFCSHAPEREPRESENTATION")
+        .select(
+            F.col("entity_id").alias("rep_id"),
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.regexp_extract("args", tail_list, 1), r"[#\s]", ""
+                    ),
+                    ",",
+                )
+            ).alias("item_s"),
+        )
+        .select("rep_id", F.col("item_s").cast("bigint").alias("solid_id"))
+    )
+    return (
+        prods.join(pds, "pds_id")
+        .join(reps, "rep_id")
+        .select("entity_id", "global_id", "ifc_class", "solid_id")
+    )
+
+
+def ifc_product_meshes(entities: DataFrame) -> DataFrame:
+    """S3 geometry subset: evaluate each product's IfcExtrudedAreaSolid into
+    a closed triangle mesh (profile ring -> G2 ear clip caps -> G3 prism
+    sides) and its bbox — the create_shape output shape the reference
+    consumes (ifcObjectGeom.py:91-112: vertex/index lists + set_box).
+
+    Profiles: IFCARBITRARYCLOSEDPROFILEDEF over an IFCPOLYLINE ring, and
+    IFCRECTANGLEPROFILEDEF (XDim x YDim centered at the profile origin).
+    Output: (entity_id, global_id, ifc_class, n_tri, surface2,
+    xmin..zmax, tris binary float32 (n_tri,3,3) soup)."""
+    solids = ifc_swept_solids(entities)
+    profiles = entities.withColumnRenamed("entity_id", "profile_id")
+    arb = profiles.where(
+        F.col("ifc_class") == "IFCARBITRARYCLOSEDPROFILEDEF"
+    ).select(
+        "profile_id",
+        F.lit("ring").alias("ptype"),
+        F.regexp_extract("args", r"#(\d+)\s*$", 1).cast("bigint").alias("curve_id"),
+        F.lit(0.0).alias("xdim"),
+        F.lit(0.0).alias("ydim"),
+    )
+    rect = profiles.where(F.col("ifc_class") == "IFCRECTANGLEPROFILEDEF").select(
+        "profile_id",
+        F.lit("rect").alias("ptype"),
+        F.lit(None).cast("bigint").alias("curve_id"),
+        F.regexp_extract("args", r"([0-9][0-9.Ee+\-]*)\s*,\s*[0-9][0-9.Ee+\-]*\s*$", 1)
+        .cast("double")
+        .alias("xdim"),
+        F.regexp_extract("args", _NUM_RE, 1).cast("double").alias("ydim"),
+    )
+    prof = arb.unionByName(rect)
+
+    # ordered polyline vertices: posexplode keeps STEP argument order
+    polys = entities.where(F.col("ifc_class") == "IFCPOLYLINE").select(
+        F.col("entity_id").alias("curve_id"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_extract("args", r"\(([^()]*)\)", 1), r"[#\s]", ""
+                ),
+                ",",
+            )
+        ).alias("pos", "pt_s"),
+    ).select("curve_id", "pos", F.col("pt_s").cast("bigint").alias("pt_id"))
+    pts = ifc_cartesian_points(entities).selectExpr(
+        "entity_id AS pt_id", "x AS px", "y AS py"
+    )
+    ring_rows = polys.join(pts, "pt_id").select("curve_id", "pos", "px", "py")
+
+    per_solid = (
+        solids.join(F.broadcast(prof), "profile_id")
+        .join(ring_rows, "curve_id", "left")
+        .select("solid_id", "depth", "ptype", "xdim", "ydim", "pos", "px", "py")
+    )
+
+    schema = (
+        "solid_id bigint, n_tri int, surface2 bigint,"
+        " xmin double, xmax double, ymin double, ymax double,"
+        " zmin double, zmax double, tris binary"
+    )
+
+    def eval_solid(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.geometry import prism_extrude, triangle_normals
+
+        depth = float(pdf["depth"].iloc[0])
+        if pdf["ptype"].iloc[0] == "rect":
+            hx, hy = float(pdf["xdim"].iloc[0]) / 2.0, float(pdf["ydim"].iloc[0]) / 2.0
+            ring = np.array([[-hx, -hy], [hx, -hy], [hx, hy], [-hx, hy]])
+        else:
+            g = pdf.sort_values("pos")
+            ring = g[["px", "py"]].to_numpy(dtype=np.float64)
+            if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+                ring = ring[:-1]  # STEP polylines close explicitly
+            # ear clip wants CCW; IFC profiles may be stored either way
+            x, y = ring[:, 0], ring[:, 1]
+            if np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+                ring = ring[::-1]
+        tris = prism_extrude(ring, 0.0, depth)
+        _, dbl = triangle_normals(tris)
+        flat = tris.reshape(-1, 3)
+        return pd.DataFrame(
+            [
+                {
+                    "solid_id": int(pdf["solid_id"].iloc[0]),
+                    "n_tri": len(tris),
+                    "surface2": int(np.rint(dbl.sum())),
+                    "xmin": float(flat[:, 0].min()),
+                    "xmax": float(flat[:, 0].max()),
+                    "ymin": float(flat[:, 1].min()),
+                    "ymax": float(flat[:, 1].max()),
+                    "zmin": float(flat[:, 2].min()),
+                    "zmax": float(flat[:, 2].max()),
+                    "tris": np.ascontiguousarray(tris, dtype=np.float32).tobytes(),
+                }
+            ]
+        )
+
+    meshes = per_solid.groupBy("solid_id").applyInPandas(eval_solid, schema)
+    return ifc_product_solids(entities).join(meshes, "solid_id").select(
+        "entity_id", "global_id", "ifc_class", "n_tri", "surface2",
+        "xmin", "xmax", "ymin", "ymax", "zmin", "zmax", "tris",
     )
 
 

@@ -70,3 +70,79 @@ def test_ifc_group_by_class_and_container(spark, tmp_path):
     assert groups[("IFCWALL", "STOREY_A0")] == ["WALL_1", "WALL_2"]
     assert groups[("IFCSLAB", "STOREY_A0")] == ["SLAB_1"]
     assert groups[("IFCDOOR", "BLDG_A")] == ["DOOR_1"]
+
+
+IFC_GEOM_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCWALL('WALL_G',#1,'W',$,$,$,#61,$);
+#22= IFCSLAB('SLAB_G',#1,'S',$,$,$,#73,$,.FLOOR.);
+#24= IFCWALL('WALL_NOGEO',#1,'W2',$,$,$,$,$);
+#50= IFCCARTESIANPOINT((0.,0.));
+#51= IFCCARTESIANPOINT((4.,0.));
+#52= IFCCARTESIANPOINT((4.,2.));
+#53= IFCCARTESIANPOINT((1.,2.));
+#54= IFCCARTESIANPOINT((1.,3.));
+#55= IFCCARTESIANPOINT((0.,3.));
+#56= IFCPOLYLINE((#50,#51,#52,#53,#54,#55,#50));
+#57= IFCARBITRARYCLOSEDPROFILEDEF(.AREA.,$,#56);
+#58= IFCDIRECTION((0.,0.,1.));
+#59= IFCEXTRUDEDAREASOLID(#57,$,#58,5.);
+#60= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#59));
+#61= IFCPRODUCTDEFINITIONSHAPE($,$,(#60));
+#70= IFCRECTANGLEPROFILEDEF(.AREA.,$,$,2.,4.);
+#71= IFCEXTRUDEDAREASOLID(#70,$,#58,3.);
+#72= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#71));
+#73= IFCPRODUCTDEFINITIONSHAPE($,$,(#72));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_swept_solid_meshes(spark, tmp_path):
+    """S3 geometry subset (reference ifcObjectGeom.py:74-130 create_shape
+    semantics): IfcExtrudedAreaSolid -> closed triangle mesh + bbox, against
+    hand-computed oracles.
+
+    WALL_G: L-profile (0,0)(4,0)(4,2)(1,2)(1,3)(0,3), depth 5 ->
+      6-gon prism: 2*(6-2) cap + 2*6 side = 20 triangles,
+      area = 9, perimeter = 14 -> surface2 = 2*(2*9 + 14*5) = 176,
+      bbox (0..4, 0..3, 0..5).
+    SLAB_G: rectangle 2 x 4 centered, depth 3 ->
+      2*2 + 2*4 = 12 triangles, surface2 = 2*(2*8 + 12*3) = 104,
+      bbox (-1..1, -2..2, 0..3).
+    WALL_NOGEO has no representation and must not appear."""
+    import numpy as np
+
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes
+
+    p = tmp_path / "geom.ifc"
+    p.write_text(IFC_GEOM_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes(ents).collect()}
+    assert set(rows) == {"WALL_G", "SLAB_G"}
+
+    w = rows["WALL_G"]
+    assert w["ifc_class"] == "IFCWALL" and w["n_tri"] == 20
+    assert w["surface2"] == 2 * (2 * 9 + 14 * 5)
+    assert (w["xmin"], w["xmax"], w["ymin"], w["ymax"], w["zmin"], w["zmax"]) == (
+        0.0, 4.0, 0.0, 3.0, 0.0, 5.0
+    )
+
+    s = rows["SLAB_G"]
+    assert s["ifc_class"] == "IFCSLAB" and s["n_tri"] == 12
+    assert s["surface2"] == 2 * (2 * 8 + 12 * 3)
+    assert (s["xmin"], s["xmax"], s["ymin"], s["ymax"], s["zmin"], s["zmax"]) == (
+        -1.0, 1.0, -2.0, 2.0, 0.0, 3.0
+    )
+
+    # the triangle soup itself is well-formed float32 (n_tri, 3, 3) and its
+    # per-triangle doubled areas sum back to surface2 (closed-solid check)
+    from py3dtilers_spark.operators.geometry import triangle_normals
+
+    tris = np.frombuffer(bytes(w["tris"]), dtype=np.float32).reshape(-1, 3, 3)
+    assert len(tris) == 20
+    _, dbl = triangle_normals(tris.astype(np.float64))
+    assert int(np.rint(dbl.sum())) == w["surface2"]
