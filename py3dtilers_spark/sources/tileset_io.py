@@ -78,6 +78,28 @@ def _reprefix(node: dict, prefix: str) -> dict:
     return out
 
 
+def source_index(spark: SparkSession, out_dirs: list[str]) -> DataFrame:
+    """J5: the positional zip of root-tile index <-> source tileset path
+    (reference TilesetReader.py:70-80 / TilesetMerger.py:50-56 keeps
+    tilesets and paths in parallel lists). Emitted as a real dimension
+    table (src_idx, prefix, path) so any tiles table carrying re-prefixed
+    ids joins back to its source with a broadcast equi-join on the prefix
+    — the distributed form of `zip(tilesets, paths)`."""
+    return spark.createDataFrame(
+        [(i, f"t{i}/", d) for i, d in enumerate(out_dirs)],
+        "src_idx int, prefix string, path string",
+    )
+
+
+def tiles_with_source(merged_tiles: DataFrame, src_idx: DataFrame) -> DataFrame:
+    """Resolve each merged tile row to its source tileset: equi-join on the
+    extracted id prefix (always broadcastable — one row per source)."""
+    pref = merged_tiles.withColumn(
+        "prefix", F.regexp_extract("tile_id", r"^(t\d+/)", 1)
+    )
+    return pref.join(F.broadcast(src_idx), "prefix")
+
+
 def merge_tilesets(spark: SparkSession, out_dirs: list[str], merged_dir: str) -> DataFrame:
     """Union tile tables under a fresh root: tile ids re-prefixed by source
     index (collision-free, like the merger's texture renaming,

@@ -107,3 +107,38 @@ def test_untextured_still_decodes():
     blob = encode_b3dm(pos, bid, {"ids": ["a"]})
     p, b, ft, bt, full = decode_b3dm_full(blob)
     assert full["uv"] is None and full["image"] is None and full["material"] is None
+
+
+def test_read_b3dm_tiles_scan(spark, tmp_path):
+    """S5 full scan: a directory of .b3dm files -> per-feature rows through
+    binaryFile + vectorized decode (reference TilesetReader semantics)."""
+    from py3dtilers_spark.sources.b3dm_io import read_b3dm_tiles
+
+    d = tmp_path / "tiles"
+    d.mkdir()
+    # textured tile (4 features, quads at x offsets i*100)
+    atlas, img, uv, blob = _tile("png")
+    (d / "t0.b3dm").write_bytes(blob)
+    # untextured tile: 2 features, 3 verts each
+    pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5], [6, 5, 5], [5, 6, 7]],
+        dtype=np.float32,
+    )
+    bid = np.array([0, 0, 0, 1, 1, 1], dtype=np.float32)
+    (d / "t1.b3dm").write_bytes(
+        encode_b3dm(pos, bid, {"ids": ["g0", "g1"]})
+    )
+    (d / "ignored.txt").write_bytes(b"not a tile")
+
+    rows = read_b3dm_tiles(spark, str(d)).collect()
+    by_key = {(r["path"].split("/")[-1], r["batch_id"]): r for r in rows}
+    assert len(by_key) == 6  # 4 + 2 features
+    r = by_key[("t0.b3dm", 2)]
+    assert r["feature_id"] == "f2" and r["n_verts"] == 6
+    assert r["has_uv"] and not r["has_color"]
+    assert bytes(r["atlas"]) == img and r["mime"] == "image/png"
+    assert (r["xmin"], r["xmax"]) == (200.0, 232.0)  # quad i=2 at x offset 200
+    u = by_key[("t1.b3dm", 1)]
+    assert u["feature_id"] == "g1" and u["n_verts"] == 3
+    assert not u["has_uv"] and u["atlas"] is None
+    assert (u["zmin"], u["zmax"]) == (5.0, 7.0)

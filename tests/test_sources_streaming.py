@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from py3dtilers_spark.data import features_df
 from py3dtilers_spark.functions.imaging import decode, psnr, synth_pixels
@@ -108,6 +109,19 @@ def test_tileset_roundtrip_and_merge(spark, sf_smoke, tmp_path):
     table_ids = {r["tile_id"] for r in merged.select("tile_id").collect()}
     manifest_leaves = leaf_ids(m["root"])
     assert manifest_leaves == table_ids
+
+    # J5: zip-index join — every merged tile resolves to its source tileset
+    # path through the positional (src_idx, prefix, path) dimension
+    from py3dtilers_spark.sources.tileset_io import source_index, tiles_with_source
+
+    srcs = source_index(spark, [out_a, out_b])
+    resolved = tiles_with_source(merged, srcs)
+    assert resolved.count() == na + nb  # total join (no orphan tiles)
+    per_src = {
+        r["path"]: r["n"]
+        for r in resolved.groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_src == {out_a: na, out_b: nb}
 
 
 def test_streaming_matches_batch(spark, sf_smoke):
