@@ -6,10 +6,11 @@ BASELINE.json input_hint shape, bytes column included) at N and 4N cores.
 
 Scaling protocol (the host is a shared, non-stationary VM — BENCH/BASELINE.md):
   - the SAME materialized input feeds every run (written once, untimed)
-  - lo/hi runs execute in interleaved adjacent pairs (lo,hi),(lo,hi),(lo,hi),
-    each in a fresh subprocess (fresh JVM, no carryover)
-  - efficiency = median over pairs of (thr_hi/thr_lo)/4 — adjacency makes
-    each pair see the same host weather; the median rejects degraded windows
+  - runs execute as a BRACKETED chain lo, hi, lo, hi, ..., lo, each in a
+    fresh subprocess (fresh JVM, no carryover); every hi is scored against
+    the MEAN of its two bracketing lo runs — unbiased under host drift
+  - efficiency = median over bracketed estimates of (thr_hi/thr_lo)/4,
+    restricted to windows whose adjacent bare-kernel calibration is clean
   - per-phase timings are recorded at BOTH levels (median run of each)
 
 Prints ONE JSON line.
@@ -169,53 +170,9 @@ def main() -> None:
 
     n_rows = materialize_input(input_path)
 
-    pairs = []
-    calibs = []
-    # adaptive sampling: keep measuring until SCALE_PAIRS pairs landed in a
-    # calibration-clean window (gate below), bounded at SCALE_PAIRS + 2
-    # total — a degraded-host window can say nothing about the job's scaling
-    # shape, so it is replaced, never averaged in. The gate is on the
-    # ADJACENT kernel calibration (host state), independent of the measured
-    # job efficiency — no outcome-based selection.
-    n_good = 0
-    while len(pairs) < SCALE_PAIRS + 2 and n_good < SCALE_PAIRS:
-        # adjacent calibration: what the host delivers N -> 4N procs in THIS
-        # time window (the VM is shared and non-stationary)
-        c = _machine_calibration(n_lo, n_hi)
-        calibs.append(c)
-        lo = scaling_run(n_lo, input_path, out_root, n_rows)
-        hi = scaling_run(n_hi, input_path, out_root, n_rows)
-        eff = (lo["sec"] / hi["sec"]) / (n_hi / n_lo)
-        pairs.append(
-            {
-                "lo": lo,
-                "hi": hi,
-                "eff": round(eff, 3),
-                "eff_normalized": round(
-                    min(1.0, eff / max(c["machine_efficiency"], 1e-9)), 3
-                ),
-            }
-        )
-        if c["machine_efficiency"] >= GOOD_WINDOW:
-            n_good += 1
-    calib = calibs[len(calibs) // 2]
-
-    # window gating: the adjacent calibration measures what the HOST could
-    # scale in that window, independent of Spark. A window where the bare
-    # kernel itself can't reach 0.6 efficiency (host degraded / stolen)
-    # cannot evidence anything about the job's scaling shape — such pairs
-    # are excluded from the median (never from the record).
-    good = [
-        p for p, c in zip(pairs, calibs) if c["machine_efficiency"] >= GOOD_WINDOW
-    ] or pairs
-    effs = [p["eff"] for p in pairs]
-    med_eff = statistics.median(p["eff"] for p in good)
-    med_norm = statistics.median(p["eff_normalized"] for p in good)
-    # the pair whose eff is the median is the representative run
-    rep = min(good, key=lambda p: abs(p["eff"] - med_eff))
-    lo_sec = statistics.median(p["lo"]["sec"] for p in good)
-    hi_sec = statistics.median(p["hi"]["sec"] for p in good)
-
+    # headline queries FIRST: they take ~1 min and the scaling chain below
+    # takes ~30 — running them up front keeps both measurements inside the
+    # freshest host window instead of putting the queries 30 minutes deep.
     queries: dict[str, float] = {}
     from py3dtilers_spark.session import get_spark
 
@@ -226,6 +183,69 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 3)
     spark.stop()
+
+    # --- scaling: BRACKETED chain lo, hi, lo, hi, ..., lo -----------------
+    # The r3 failure mode was host drift WITHIN a pair: the lo (1-core) runs
+    # stayed flat at ~401 s across 45 minutes while the later hi runs
+    # degraded 125 -> 190 s, so a plain (lo, hi) order under-reports any
+    # time the host slows mid-pair (and would over-report if it sped up).
+    # Bracketing removes the order bias: every hi run is compared against
+    # the MEAN of the lo runs immediately before and after it, which is an
+    # unbiased estimate under linear drift — and the chain shares lo runs
+    # between neighboring estimates, so 3 bracketed pairs cost 4 lo + 3 hi
+    # runs, the same wall clock as 3 plain pairs.
+    pairs = []
+    calibs = []
+    lo_prev = scaling_run(n_lo, input_path, out_root, n_rows)
+    lo_all = [lo_prev]
+    # adaptive sampling: keep measuring until SCALE_PAIRS estimates landed
+    # in a calibration-clean window, bounded at SCALE_PAIRS + 1 total — a
+    # degraded-host window can say nothing about the job's scaling shape,
+    # so it is replaced, never averaged in. The gate is the ADJACENT kernel
+    # calibration (host state, measured without Spark), independent of the
+    # measured job efficiency — no outcome-based selection.
+    n_good = 0
+    while len(pairs) < SCALE_PAIRS + 1 and n_good < SCALE_PAIRS:
+        # adjacent calibration: what the host delivers N -> 4N procs in
+        # THIS time window (the VM is shared and non-stationary)
+        c = _machine_calibration(n_lo, n_hi)
+        calibs.append(c)
+        hi = scaling_run(n_hi, input_path, out_root, n_rows)
+        lo_next = scaling_run(n_lo, input_path, out_root, n_rows)
+        lo_all.append(lo_next)
+        lo_sec_bracket = (lo_prev["sec"] + lo_next["sec"]) / 2.0
+        eff = (lo_sec_bracket / hi["sec"]) / (n_hi / n_lo)
+        pairs.append(
+            {
+                "lo": lo_prev,
+                "lo_after": lo_next,
+                "lo_sec_bracket": round(lo_sec_bracket, 3),
+                "hi": hi,
+                "eff": round(eff, 3),
+                "eff_normalized": round(
+                    min(1.0, eff / max(c["machine_efficiency"], 1e-9)), 3
+                ),
+            }
+        )
+        if c["machine_efficiency"] >= GOOD_WINDOW:
+            n_good += 1
+        lo_prev = lo_next
+    calib = calibs[len(calibs) // 2]
+
+    # window gating: a window where the bare kernel itself can't reach 0.6
+    # efficiency (host degraded / stolen) cannot evidence anything about
+    # the job's scaling shape — such estimates are excluded from the median
+    # (never from the record).
+    good = [
+        p for p, c in zip(pairs, calibs) if c["machine_efficiency"] >= GOOD_WINDOW
+    ] or pairs
+    effs = [p["eff"] for p in pairs]
+    med_eff = statistics.median(p["eff"] for p in good)
+    med_norm = statistics.median(p["eff_normalized"] for p in good)
+    # the pair whose eff is the median is the representative run
+    rep = min(good, key=lambda p: abs(p["eff"] - med_eff))
+    lo_sec = statistics.median(p["lo_sec_bracket"] for p in good)
+    hi_sec = statistics.median(p["hi"]["sec"] for p in good)
 
     total = round(sum(queries.values()) + hi_sec, 3)
     queries[f"tiler_pipeline_x{SCALE_COPIES}_c{n_hi}"] = round(hi_sec, 3)
@@ -246,8 +266,11 @@ def main() -> None:
             "cores_hi": n_hi,
             "input_rows": n_rows,
             "payload": "materialized bytes column (input_hint table)",
-            "protocol": f"{SCALE_PAIRS} interleaved (lo,hi) pairs, fresh JVM each,"
-                        " efficiency = median of per-pair (thr_hi/thr_lo)/4",
+            "protocol": f"bracketed chain lo,(hi,lo)x{len(pairs)}, fresh JVM"
+                        " each; per-estimate lo = mean of the bracketing lo"
+                        " runs (drift-unbiased); efficiency = median of"
+                        " per-estimate (thr_hi/thr_lo)/4 over"
+                        " calibration-clean windows",
             "sec_lo": round(lo_sec, 3),
             "sec_hi": round(hi_sec, 3),
             "features_per_sec_lo": round(thr_lo, 1),
