@@ -43,10 +43,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # measures the JOB's scaling shape, not the host ceiling: r3 clean-window
 # raw pair = 0.861 at (1,4) vs ~0.72 at (2,8).
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-# 4 copies (2.4M rows): parallel phase ~90% of the lo run, while each
-# (lo,hi) pair stays short enough to sample a single host-weather window
-SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
+# 3 copies (1.8M rows): parallel phase ~95% of the 1-core run (clean-window
+# expectation ~0.85 efficiency), while each chain link stays short enough to
+# sample a single host-weather window AND the whole chain fits the deadline
+# even when the host degrades (a 4-copy chain in a degraded window exceeded
+# 56 minutes and timed out without printing)
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "3"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+# hard wall-clock budget for the SCALING CHAIN: when exceeded, stop sampling
+# and report the estimates collected so far (never die without output)
+SCALE_DEADLINE = int(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE", "2100"))
 # a pair is only EVIDENCE when the adjacent bare-kernel calibration shows the
 # host itself could scale in that window
 GOOD_WINDOW = 0.6
@@ -205,7 +211,12 @@ def main() -> None:
     # calibration (host state, measured without Spark), independent of the
     # measured job efficiency — no outcome-based selection.
     n_good = 0
-    while len(pairs) < SCALE_PAIRS + 1 and n_good < SCALE_PAIRS:
+    chain_t0 = time.time()
+    while (
+        len(pairs) < SCALE_PAIRS + 1
+        and n_good < SCALE_PAIRS
+        and (not pairs or time.time() - chain_t0 < SCALE_DEADLINE)
+    ):
         # adjacent calibration: what the host delivers N -> 4N procs in
         # THIS time window (the VM is shared and non-stationary)
         c = _machine_calibration(n_lo, n_hi)

@@ -375,6 +375,58 @@ JOIN (SELECT image_id FROM f2_verts GROUP BY image_id
 
 
 # ---------------------------------------------------------------------------
+# Skew handling (north rule: salted repartitioning on hot cells + AQE skew
+# join). fmt is a GENUINELY hot key (3 values over the whole table), so the
+# salted join spreads each value across 8 reducers; results must be
+# IDENTICAL to the plain join / plain group-by (that is the whole point).
+
+def q_skew_join_salted(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    feats = _feats(spark, sf_dir).select("image_id", "fmt")
+    dim = _feats(spark, sf_dir).groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("fmt_n")
+    )
+    return salted_join(feats, dim, key="fmt", salt_src="image_id", n_salt=8)
+
+
+ORACLE_SKEW_JOIN = oracle_prelude() + """
+SELECT f.fmt, f.image_id, d.fmt_n
+FROM features f
+JOIN (SELECT fmt, count(*) AS fmt_n FROM features GROUP BY fmt) d
+  ON d.fmt = f.fmt
+"""
+
+
+def q_cell_stats_salted(spark, sf_dir):
+    from .operators.skew import salted_two_stage_agg
+
+    feats = _feats(spark, sf_dir).selectExpr(
+        "image_id",
+        "CAST(floor(x / 1000.0) AS BIGINT) AS cx",
+        "CAST(floor(y / 1000.0) AS BIGINT) AS cy",
+        f"{_HZ} AS hz",
+        "w",
+    )
+    return salted_two_stage_agg(
+        feats,
+        key_cols=["cx", "cy"],
+        aggs={"n": "count", "sum_hz": "sum:hz", "min_w": "min:w", "max_w": "max:w"},
+        salt_src="image_id",
+        n_salt=8,
+    )
+
+
+ORACLE_CELL_STATS = oracle_prelude() + f"""
+SELECT CAST(floor(x / 1000.0) AS BIGINT) AS cx,
+       CAST(floor(y / 1000.0) AS BIGINT) AS cy,
+       count(*) AS n, CAST(sum({_HZ}) AS BIGINT) AS sum_hz,
+       min(w) AS min_w, max(w) AS max_w
+FROM features GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # P9 Z override (reference Geojson.set_z, geojson.py:65-87: per-feature Z
 # from a property when present, else a CLI constant): the property is NULL
 # for every third feature, and the override coalesces property -> constant.
@@ -977,6 +1029,8 @@ QUERIES: dict[str, tuple] = {
     "material_remap": (q_material_remap, ORACLE_MATERIAL_REMAP),
     "empty_geom_filter": (q_empty_geom_filter, ORACLE_EMPTY_GEOM),
     "z_override": (q_z_override, ORACLE_Z_OVERRIDE),
+    "skew_join_salted": (q_skew_join_salted, ORACLE_SKEW_JOIN),
+    "cell_stats_salted": (q_cell_stats_salted, ORACLE_CELL_STATS),
     "topk_per_fmt": (q_topk_per_fmt, ORACLE_TOPK),
     "kd_tiles": (q_kd_tiles, None),  # iterative; parity via tests/test_kd_tree.py
     "knn_block": (q_knn, ORACLE_KNN),
