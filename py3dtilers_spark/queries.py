@@ -1044,6 +1044,34 @@ QUERIES: dict[str, tuple] = {
 }
 
 
+def q_s2_cells(spark, sf_dir):
+    """Hierarchical S2 cell roll-up of feature centroids (north-rule
+    "batched H3/S2 cell encoding ... via pandas/Arrow UDFs"): planar
+    centroids mapped onto a deterministic lat/lng window, leaf cells
+    encoded once by the Arrow-batched kernel, then BOTH aggregation levels
+    (12 and 8) derived from the same leaf column with pure bit math —
+    the parent chain never re-runs the UDF. SQL-inexpressible (Hilbert
+    curve); pinned by tests/test_s2.py's independent scalar oracle."""
+    from .functions.s2 import s2_cell_id, s2_parent
+
+    feats = _feats(spark, sf_dir).selectExpr(
+        "45.0 + (y - 5173000.0) * 1e-5 AS lat",
+        "7.0 + (x - 1843000.0) * 1e-5 AS lng",
+        "w",
+    )
+    leaf = feats.withColumn("leaf", s2_cell_id(F.col("lat"), F.col("lng")))
+    return (
+        leaf.withColumn("cell12", s2_parent(F.col("leaf"), 12))
+        .withColumn("cell8", s2_parent(F.col("leaf"), 8))
+        .groupBy("cell8", "cell12")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("w").cast("bigint").alias("sum_w"),
+        )
+        .orderBy("cell8", "cell12")
+    )
+
+
 def _register_extra():
     from .operators.ann import ann_lsh_oracle_sql, embedding_dup_oracle_sql
     from .operators.dedup import minhash_oracle_sql, simhash_oracle_sql
@@ -1061,6 +1089,10 @@ def _register_extra():
             "ancestor_closure": (q_ancestors, ORACLE_ANCESTORS),
             "texture_lookup_join": (q_texture_lookup, ORACLE_TEXTURE),
             "color_lerp": (q_color_lerp, ORACLE_COLOR),
+            # Hilbert-curve cell ids are SQL-inexpressible: rows-only check
+            # here; value parity pinned by tests/test_s2.py (independent
+            # scalar re-implementation + canonical face tokens).
+            "s2_cells": (q_s2_cells, None),
         }
     )
 
