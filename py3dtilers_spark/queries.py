@@ -1101,10 +1101,11 @@ _register_extra()
 
 
 def _register_geo():
-    from . import queries_geo, queries_temporal
+    from . import queries_geo, queries_raster, queries_temporal
 
     queries_geo.register(QUERIES)
     queries_temporal.register(QUERIES)
+    queries_raster.register(QUERIES)
     # kd_tiles now has a real oracle: the reference recursion unrolled into
     # level-by-level window splits DuckDB can evaluate (queries_geo.kd_oracle_sql)
     QUERIES["kd_tiles"] = (q_kd_tiles, queries_geo.kd_oracle_sql())
