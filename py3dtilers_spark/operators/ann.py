@@ -20,6 +20,7 @@ AQE skew-split bounds hot buckets.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -196,3 +197,94 @@ SELECT q_id,
 FROM cand
 QUALIFY rk <= {k}
 """
+
+
+# --- IVF (inverted-file) ANN: the second scale path ------------------------
+#
+# LSH's bucket space is fixed by the plane count; IVF's is data-adaptive —
+# a coarse quantizer (k-means on a bounded sample) splits the corpus into
+# n_centroids cells, each vector indexed ONCE under its nearest centroid,
+# and a query probes only its `nprobe` nearest cells. At 10^9+ rows the
+# centroid count (and nprobe) is the recall/cost dial; the assignment pass
+# is one Arrow-batched matmul over the scan, the candidate join a plain
+# shuffle equi-join on the cell id — same plan family as every other
+# bucketed op in the engine, no broadcast of the big side anywhere.
+
+
+def ivf_train_centroids(
+    emb: DataFrame, n_centroids: int = 16, sample_cap: int = 4096, iters: int = 8
+) -> np.ndarray:
+    """Deterministic coarse quantizer: a hash-ordered sample (bounded at
+    `sample_cap` rows — constant driver memory at ANY corpus size) and a
+    few Lloyd iterations in numpy, init = first k rows of the hash order.
+    Unit-normalized so assignment maximizes cosine via dot product."""
+    sample = (
+        emb.selectExpr(
+            "vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e"
+        )
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r.e for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_mod: int = 100,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(q_id, rk, neighbor_id, cos_sim) — exact cosine rerank over the
+    IVF candidate set (corpus cell == any of the query's nprobe cells)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    cent = ivf_train_centroids(emb, n_centroids)
+
+    @F.pandas_udf(LongType())
+    def _cell(es: pd.Series) -> pd.Series:
+        x = np.array(es.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ cent.T, axis=1).astype(np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probe(es: pd.Series) -> pd.Series:
+        x = np.array(es.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(x @ cent.T), axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(top))
+
+    base = emb.selectExpr(
+        "vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e"
+    ).selectExpr(
+        "vec_id", "e", "sqrt(aggregate(e, 0.0D, (acc, v) -> acc + v * v)) AS nrm"
+    )
+    corpus = base.withColumn("cell", _cell(F.col("e")))
+    q = (
+        base.where(f"vec_id % {query_mod} = 0")
+        .withColumn("cell", F.explode(_probe(F.col("e"))))
+        .selectExpr("cell", "vec_id AS q_id", "e AS qe", "nrm AS qn")
+    )
+    cand = corpus.join(q, "cell").where("vec_id <> q_id")
+    scored = cand.selectExpr(
+        "q_id", "vec_id",
+        "aggregate(zip_with(e, qe, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
+        " / (nrm * qn) AS cos_sim",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(f"rk <= {k}")
+        .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"))
+    )

@@ -300,3 +300,63 @@ def read_manifest_resolved(out_dir: str) -> dict:
     if m.get("root"):
         m["root"] = resolve(m["root"])
     return m
+
+
+def rollup_rows_local(leaf_rows) -> dict:
+    """Driver-side mirror of tile_tree_from_stats for SMALL tile counts:
+    leaf stat dicts (tile_id, n_features, xmin..zmax) -> the full tree as
+    {tile_id: row dict}. O(#tiles * depth) pure Python — at sandbox/bench
+    scale this replaces three Spark jobs (stats checkpoint, roll-up agg,
+    manifest collect) with zero, shrinking the serial tail of the pipeline;
+    beyond driver memory the sharded writer is the path, not this."""
+    rows: dict[str, dict] = {}
+    for r in leaf_rows:
+        tid = r["tile_id"]
+        rows[tid] = {
+            "tile_id": tid,
+            "parent_id": tid[:-1] if tid else None,
+            "level": len(tid),
+            "is_leaf": True,
+            "geometric_error": LEAF_GE,
+            "n_features": int(r["n_features"]),
+            "xmin": r["xmin"], "xmax": r["xmax"],
+            "ymin": r["ymin"], "ymax": r["ymax"],
+            "zmin": r["zmin"], "zmax": r["zmax"],
+        }
+    for r in leaf_rows:
+        tid = r["tile_id"]
+        # kd tile ids are prefix-free: a proper prefix of a leaf id is
+        # always an internal node
+        for plen in range(len(tid)):
+            pid = tid[:plen]
+            a = rows.get(pid)
+            if a is None:
+                rows[pid] = a = {
+                    "tile_id": pid,
+                    "parent_id": pid[:-1] if pid else None,
+                    "level": plen,
+                    "is_leaf": False,
+                    "geometric_error": 1.0 + 499.0 * 0.5 ** plen,
+                    "n_features": 0,
+                    "xmin": float("inf"), "xmax": float("-inf"),
+                    "ymin": float("inf"), "ymax": float("-inf"),
+                    "zmin": float("inf"), "zmax": float("-inf"),
+                }
+            a["n_features"] += int(r["n_features"])
+            a["xmin"] = min(a["xmin"], r["xmin"])
+            a["xmax"] = max(a["xmax"], r["xmax"])
+            a["ymin"] = min(a["ymin"], r["ymin"])
+            a["ymax"] = max(a["ymax"], r["ymax"])
+            a["zmin"] = min(a["zmin"], r["zmin"])
+            a["zmax"] = max(a["zmax"], r["zmax"])
+    return rows
+
+
+def manifest_from_rows(rows: dict) -> dict:
+    """Same tileset.json dict as manifest(), from an in-memory row map."""
+    children = _children_map(rows)
+    return {
+        "asset": {"version": "1.0", "generator": "py3dtilers_spark"},
+        "geometricError": rows[""]["geometric_error"] if "" in rows else LEAF_GE,
+        "root": _node_dict(rows, children, "") if "" in rows else {},
+    }

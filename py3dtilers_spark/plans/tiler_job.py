@@ -40,6 +40,35 @@ ENCODED_SCHEMA = (
 )
 
 
+def _write_lineage_local(meta_pdf: pd.DataFrame, lineage_dir: str, run_id: str) -> None:
+    """Lineage sink from the already-collected tile metadata: same schema as
+    the distributed writer (run_id, cell_id, row_count, checksum,
+    completed_at) via one pyarrow file — no Spark job."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(lineage_dir, ignore_errors=True)
+    os.makedirs(lineage_dir, exist_ok=True)
+    n = len(meta_pdf)
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    tbl = pa.table(
+        {
+            "run_id": pa.array([run_id] * n, type=pa.string()),
+            "cell_id": pa.array(meta_pdf["tile_id"].astype(str), type=pa.string()),
+            "row_count": pa.array(
+                meta_pdf["n_features"].to_numpy(dtype="int64"), type=pa.int64()
+            ),
+            "checksum": pa.array(meta_pdf["checksum"].astype(str), type=pa.string()),
+            "completed_at": pa.array([now] * n, type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(lineage_dir, "part-00000.parquet"))
+    open(os.path.join(lineage_dir, "_SUCCESS"), "w").close()
+
+
 def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-tile encoder (reference __create_tile_content,
     tileset_creation.py:141-194 + atlas pack, Texture/atlas.py:52-88):
@@ -333,32 +362,56 @@ def run_tiler(
         # it for the read, then restore.
         mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+        # local finish: when the tree stays on the driver anyway (non-sharded
+        # manifest), ONE pruned collect of the O(#tiles) metadata feeds the
+        # lineage sink, the tree roll-up, AND the manifest — replacing four
+        # driver-blocking Spark jobs (stats checkpoint, lineage write, tree
+        # agg, manifest collect) with one. This is the pipeline's serial
+        # tail, the term that caps N->4N efficiency at fixed problem size.
+        local_finish = deferred_tree and manifest_shard_depth is None
+        meta_pdf = None
+        meta_cols = [
+            "tile_id", "n_features", "checksum",
+            "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+        ]
         try:
-            # ONE pruned read of the tile metadata feeds both the lineage
-            # sink and the (deferred) tree roll-up
-            tiles_meta = spark.read.parquet(tiles_dir).select(
-                "tile_id", "n_features", "checksum",
-                "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
-            ).localCheckpoint(eager=True)
-            lineage = tiles_meta.select(
-                F.lit(run_id).alias("run_id"),
-                F.col("tile_id").alias("cell_id"),
-                F.col("n_features").alias("row_count"),
-                "checksum",
-                F.current_timestamp().alias("completed_at"),
-            )
-            lineage.write.mode("overwrite").parquet(lineage_dir)
-            timings["lineage"] = _t() - t0
-            if deferred_tree:
-                t0 = _t()
-                tree = tile_tree_from_stats(tiles_meta).localCheckpoint(eager=True)
-                timings["tree"] = _t() - t0
+            if local_finish:
+                meta_pdf = spark.read.parquet(tiles_dir).select(*meta_cols).toPandas()
+                _write_lineage_local(meta_pdf, lineage_dir, run_id)
+                timings["lineage"] = _t() - t0
+            else:
+                # ONE pruned read of the tile metadata feeds both the lineage
+                # sink and the (deferred) tree roll-up
+                tiles_meta = spark.read.parquet(tiles_dir).select(*meta_cols
+                ).localCheckpoint(eager=True)
+                lineage = tiles_meta.select(
+                    F.lit(run_id).alias("run_id"),
+                    F.col("tile_id").alias("cell_id"),
+                    F.col("n_features").alias("row_count"),
+                    "checksum",
+                    F.current_timestamp().alias("completed_at"),
+                )
+                lineage.write.mode("overwrite").parquet(lineage_dir)
+                timings["lineage"] = _t() - t0
+                if deferred_tree:
+                    t0 = _t()
+                    tree = tile_tree_from_stats(tiles_meta).localCheckpoint(eager=True)
+                    timings["tree"] = _t() - t0
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
 
     t0 = _t()
     os.makedirs(out_dir, exist_ok=True)
-    if manifest_shard_depth is not None:
+    if with_payload and meta_pdf is not None:
+        from ..operators.hierarchy import manifest_from_rows, rollup_rows_local
+
+        rows = rollup_rows_local(meta_pdf.to_dict("records"))
+        m = manifest_from_rows(rows)
+        with open(os.path.join(out_dir, "tileset.json"), "w") as fh:
+            json.dump(m, fh)
+        n_leaves = sum(1 for v in rows.values() if v["is_leaf"])
+        n_features = rows[""]["n_features"] if "" in rows else 0
+    elif manifest_shard_depth is not None:
         # 100x path: executors write per-prefix subtree tilesets, the driver
         # holds only the top levels + one summary row per shard
         from ..operators.hierarchy import write_manifest_sharded

@@ -1044,6 +1044,17 @@ QUERIES: dict[str, tuple] = {
 }
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: coarse k-means quantizer (bounded hash-ordered sample,
+    deterministic Lloyd) + nprobe cell probing + exact cosine rerank.
+    The quantizer train step is SQL-inexpressible -> rows-only oracle;
+    recall vs the brute-force baseline is pinned by tests/test_ann_ivf.py."""
+    from .operators.ann import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(emb, nprobe=10)
+
+
 def q_s2_cells(spark, sf_dir):
     """Hierarchical S2 cell roll-up of feature centroids (north-rule
     "batched H3/S2 cell encoding ... via pandas/Arrow UDFs"): planar
@@ -1093,6 +1104,9 @@ def _register_extra():
             # here; value parity pinned by tests/test_s2.py (independent
             # scalar re-implementation + canonical face tokens).
             "s2_cells": (q_s2_cells, None),
+            # k-means quantizer is SQL-inexpressible: rows-only check;
+            # recall@k >= 0.9 vs brute force pinned by tests/test_ann_ivf.py
+            "ann_ivf_topk": (q_ann_ivf, None),
         }
     )
 

@@ -115,3 +115,29 @@ def test_pipeline_with_sharded_manifest(spark, sf_smoke, tmp_path):
         plain = json.load(fh)
     assert read_manifest_resolved(out_b) == plain
     assert os.listdir(os.path.join(out_b, "sub"))
+
+
+def test_local_finish_matches_distributed_rollup(spark, sf_smoke, tmp_path):
+    """The scale path's driver-side finish (one metadata collect -> lineage
+    + tree + manifest) must emit byte-identical tileset.json structure to
+    the distributed tile_tree_from_stats + manifest() chain over the same
+    encoded tiles."""
+    from py3dtilers_spark.operators.hierarchy import manifest, tile_tree_from_stats
+
+    out = str(tmp_path / "lf")
+    stats = run_tiler(spark, sf_smoke, out, kd_tree_max=300, exact=False)
+    with open(os.path.join(out, "tileset.json")) as fh:
+        local = json.load(fh)
+
+    meta = spark.read.parquet(os.path.join(out, "tiles")).select(
+        "tile_id", "n_features",
+        "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
+    )
+    dist = manifest(tile_tree_from_stats(meta))
+    assert local == dist
+    # lineage written by the pyarrow fast path reads back through Spark
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lin.count() == stats["n_tiles"]
+    assert set(lin.columns) == {
+        "run_id", "cell_id", "row_count", "checksum", "completed_at"
+    }
