@@ -43,20 +43,27 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # measures the JOB's scaling shape, not the host ceiling: r3 clean-window
 # raw pair = 0.861 at (1,4) vs ~0.72 at (2,8).
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-# 3 copies (1.8M rows): parallel phase ~95% of the 1-core run (clean-window
-# expectation ~0.85 efficiency), while each chain link stays short enough to
-# sample a single host-weather window AND the whole chain fits the deadline
-# even when the host degrades (a 4-copy chain in a degraded window exceeded
-# 56 minutes and timed out without printing)
-SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "3"))
+# 4 copies (2.4M rows): with the file tile sink the runs are ~2.5x faster
+# than the r2-era parquet sink, so a larger parallel phase fits the chain
+# deadline and amortizes the fixed tail (kd walk + worker startup +
+# lineage/manifest, ~6-9 s) to ~2% of the lo run. Each run is CPU-pinned
+# (sched_setaffinity in tools/scaling_run.py): local[N] alone lets JVM
+# helper threads + python workers spill onto extra physical cores, which
+# inflates the lo side — pinning makes "N cores" mean N cores, exactly like
+# a cluster executor's cgroup.
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 # hard wall-clock budget for the SCALING CHAIN: when exceeded, stop sampling
 # and report the estimates collected so far (never die without output)
-SCALE_DEADLINE = int(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE", "2100"))
+SCALE_DEADLINE = int(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE", "2400"))
 # a pair is only EVIDENCE when the adjacent bare-kernel calibration shows the
 # host itself could scale in that window
 GOOD_WINDOW = 0.6
 KD_MAX = int(os.environ.get("SPARK_GRAFT_SCALE_KD_MAX", "500"))
+# per-pair progress log (survives a killed chain)
+SCALE_LOG = os.environ.get(
+    "SPARK_GRAFT_SCALE_LOG", os.path.join(REPO, "BENCH", "scaling_pairs.jsonl")
+)
 
 HEADLINE = [
     "kd_tiles",
@@ -123,12 +130,23 @@ def _machine_calibration(n_lo: int, n_hi: int) -> dict:
 
     out = {}
     for n in (n_lo, n_hi):
+        # same affinity discipline as the job runs: the ceiling is measured
+        # on exactly n CPUs (children inherit the mask at fork)
+        try:
+            ncpu = os.cpu_count() or n
+            os.sched_setaffinity(0, set(range(ncpu - n, ncpu)))
+        except (AttributeError, OSError):
+            pass
         with mp.Pool(n) as p:
             p.map(_calib_tile, range(n))  # warm blob cache + pages
             ntasks = n * 4
             t0 = time.time()
             p.map(_calib_tile, range(ntasks), chunksize=1)
             out[n] = ntasks / (time.time() - t0)
+    try:
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
+    except (AttributeError, OSError):
+        pass
     return {
         "tiles_per_sec_lo": round(out[n_lo], 2),
         "tiles_per_sec_hi": round(out[n_hi], 2),
@@ -241,6 +259,13 @@ def main() -> None:
         if c["machine_efficiency"] >= GOOD_WINDOW:
             n_good += 1
         lo_prev = lo_next
+        # incremental evidence: a killed/timed-out chain still leaves every
+        # completed pair on disk
+        try:
+            with open(SCALE_LOG, "a") as fh:
+                fh.write(json.dumps({"pair": pairs[-1], "calib": c}) + "\n")
+        except OSError:
+            pass
     calib = calibs[len(calibs) // 2]
 
     # window gating: a window where the bare kernel itself can't reach 0.6

@@ -198,3 +198,38 @@ def shelf_pack(sizes: list[tuple[int, int]], atlas_w: int) -> tuple[list[tuple[i
         cur_x += w
         shelf_h = max(shelf_h, h)
     return pos, shelf_y + shelf_h
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via precomputed integer index maps — one
+    fancy-indexing gather per image, no per-pixel Python. Sample point =
+    pixel center (the classic nn formula src = floor((i + 0.5) * in/out))."""
+    in_h, in_w = img.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64), in_h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64), in_w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def resize_tiles(df, out_w: int, out_h: int, bytes_col: str = "bytes"):
+    """mapInPandas stage: decode -> nearest resize -> re-encode each image
+    blob; emits (image_id, bytes, w, h, fmt) with the new geometry. Arrow
+    batches in/out, decode reuses scratch buffers; the stage is map-side
+    (no shuffle) and composes with any upstream scan or filter."""
+    import pandas as pd
+
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def gen(batches):
+        for pdf in batches:
+            out_rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf[bytes_col], pdf["fmt"]):
+                img = decode(bytes(blob))
+                rs = resize_nearest(img, out_w, out_h)
+                out_rows["image_id"].append(iid)
+                out_rows["bytes"].append(encode(rs, fmt))
+                out_rows["w"].append(out_w)
+                out_rows["h"].append(out_h)
+                out_rows["fmt"].append(fmt)
+            yield pd.DataFrame(out_rows)
+
+    return df.mapInPandas(gen, schema)

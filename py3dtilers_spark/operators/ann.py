@@ -30,11 +30,13 @@ BAND_BITS = N_PLANES // N_BANDS
 DIM = 64
 
 
-def _planes() -> np.ndarray:
-    """Seed-stable +/-1 hyperplanes (embedded as literals both engines)."""
-    vals = np.empty((N_PLANES, DIM), dtype=np.float64)
+def _planes(n_planes: int = N_PLANES) -> np.ndarray:
+    """Seed-stable +/-1 hyperplanes (embedded as literals both engines).
+    Parametric in count: widening the bands (more planes) reuses the same
+    xorshift stream, so plane p is identical at every width."""
+    vals = np.empty((n_planes, DIM), dtype=np.float64)
     state = 88172645463325252
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         for i in range(DIM):
             # xorshift64 — plain integer arithmetic, reproducible anywhere
             state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
@@ -47,15 +49,29 @@ def _planes() -> np.ndarray:
 PLANES = _planes()
 
 
+def lsh_band_bits(n_rows: int, target_bucket_rows: int = 4096) -> int:
+    """The band-width dial, as code: bits per band such that the EXPECTED
+    bucket occupancy n_rows / 2^bits stays near target_bucket_rows. At
+    sf0.01 (~6k vectors) this floors at the default 8 bits — bit-identical
+    to the static oracle — and at 10^9 rows it widens to ~18 bits, keeping
+    the per-bucket candidate expansion bounded instead of quadratic."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return BAND_BITS
+    return max(BAND_BITS, min(24, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def _plane_array_sql(p: int) -> str:
     return "[" + ", ".join(f"{v:.1f}" for v in PLANES[p]) + "]"
 
 
-def _spark_band_expr(band: int) -> str:
+def _spark_band_expr(band: int, band_bits: int = BAND_BITS, planes: np.ndarray | None = None) -> str:
+    planes = PLANES if planes is None else planes
     bits = []
-    for j in range(BAND_BITS):
-        p = band * BAND_BITS + j
-        arr = "array(" + ", ".join(f"{v:.1f}D" for v in PLANES[p]) + ")"
+    for j in range(band_bits):
+        p = band * band_bits + j
+        arr = "array(" + ", ".join(f"{v:.1f}D" for v in planes[p]) + ")"
         dot = f"aggregate(zip_with(e, {arr}, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
         bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
@@ -70,11 +86,19 @@ def _duck_band_expr(band: int) -> str:
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
-def ann_lsh_topk(emb: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
+def ann_lsh_topk(
+    emb: DataFrame, query_mod: int = 100, k: int = 5, band_bits: int | None = None
+) -> DataFrame:
     """(q_id, rk, neighbor_id) — exact cosine rerank over multi-band LSH
-    candidates (any shared band bucket)."""
+    candidates (any shared band bucket).
+
+    band_bits widens the bucket space for large corpora (see lsh_band_bits);
+    None keeps the default 8 — callers at scale pass
+    ``band_bits=lsh_band_bits(corpus_rows)``."""
+    bb = band_bits or BAND_BITS
+    planes = _planes(N_BANDS * bb) if bb != BAND_BITS else PLANES
     band_arr = "array(" + ", ".join(
-        _spark_band_expr(b) for b in range(N_BANDS)
+        _spark_band_expr(b, bb, planes) for b in range(N_BANDS)
     ) + ")"
     flat = (
         emb.selectExpr("vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e")

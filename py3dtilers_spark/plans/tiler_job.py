@@ -132,7 +132,26 @@ def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def encode_tiles_stream(tiled: DataFrame) -> DataFrame:
+def _sink_tile_payload(row_pdf: pd.DataFrame, files_dir: str | None) -> pd.DataFrame:
+    """File tile sink: the Python worker writes the encoded payload straight
+    to <files_dir>/<tile_id>.bin (the per-tile-file layout of a real 3D
+    Tiles output — the reference writes tiles/{i}.b3dm the same way,
+    tileset_creation.py:141-194) and only METADATA rides Arrow back to the
+    JVM. At 4+ cores the Arrow serialization + parquet write of payload
+    bytes is pure JVM CPU that contends with the Python encode workers for
+    the same physical cores; with the file sink the JVM side of the encode
+    stage handles ~100 bytes per tile instead of ~1 MB."""
+    if files_dir is None:
+        return row_pdf
+    tid = row_pdf["tile_id"].iloc[0]
+    with open(os.path.join(files_dir, f"{tid}.bin"), "wb") as fh:
+        fh.write(row_pdf["atlas"].iloc[0])
+    out = row_pdf.copy()
+    out["atlas"] = [b""]
+    return out
+
+
+def encode_tiles_stream(tiled: DataFrame, files_dir: str | None = None) -> DataFrame:
     """Streaming sort-based tile encoder.
 
     Input MUST be hash-partitioned AND sorted by tile_id (repartition +
@@ -157,17 +176,21 @@ def encode_tiles_stream(tiled: DataFrame) -> DataFrame:
             for s, e in zip(starts, ends):
                 tid = tids[s]
                 if cur is not None and tid != cur and buf:
-                    yield encode_tile(pd.concat(buf, ignore_index=True))
+                    yield _sink_tile_payload(
+                        encode_tile(pd.concat(buf, ignore_index=True)), files_dir
+                    )
                     buf = []
                 cur = tid
                 buf.append(pdf.iloc[s:e])
         if buf:
-            yield encode_tile(pd.concat(buf, ignore_index=True))
+            yield _sink_tile_payload(
+                encode_tile(pd.concat(buf, ignore_index=True)), files_dir
+            )
 
     return tiled.mapInPandas(gen, ENCODED_SCHEMA)
 
 
-def encode_tiles_from_slim(pre: DataFrame) -> DataFrame:
+def encode_tiles_from_slim(pre: DataFrame, files_dir: str | None = None) -> DataFrame:
     """Fused synth+encode streaming encoder: input is the SLIM row set
     (tile_id, image_id, w, h, fmt, caption, phash), hash-partitioned and
     sorted by tile_id. Payload bytes are synthesized and consumed inside the
@@ -188,7 +211,7 @@ def encode_tiles_from_slim(pre: DataFrame) -> DataFrame:
                 pdf["h"].to_numpy(),
                 pdf["fmt"].to_numpy(),
             )
-            return encode_tile(pdf)
+            return _sink_tile_payload(encode_tile(pdf), files_dir)
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -224,6 +247,7 @@ def run_tiler(
     payload_source: str = "synth",
     n_rows_hint: int | None = None,
     manifest_shard_depth: int | None = None,
+    tile_sink: str = "parquet",
 ) -> dict:
     """Execute the pipeline; returns summary metrics (incl. per-phase secs).
 
@@ -236,6 +260,11 @@ def run_tiler(
                  roll-up run on column-pruned scans that never touch bytes.
     fail_after_tiles: test hook — encode only the first K tiles (by path
     order) then 'crash', leaving a partial lineage for resume tests.
+    tile_sink: "parquet" keeps payload blobs in the tiles parquet (the
+    columnar sink the oracle/PSNR tests read); "files" writes each payload
+    to tiles_files/<tile_id>.bin from the Python worker (the 3D Tiles
+    per-tile-file layout; on a cluster this is shared/object storage) and
+    the parquet carries metadata only — the scale mode.
     """
     import time
 
@@ -263,7 +292,8 @@ def run_tiler(
     # and AQE only sees the tiny columnar input. Round up to whole waves of
     # the available slots to avoid a straggler tail.
     par = spark.sparkContext.defaultParallelism
-    waves = max(2, -(-(n_rows // 35_000 + 1) // par))
+    rows_per_task = int(os.environ.get("SPARK_GRAFT_ROWS_PER_TASK", "35000"))
+    waves = max(2, -(-(n_rows // rows_per_task + 1) // par))
     n_parts = waves * par
     if exact:
         # parity path: kd runs on the slim projection (window sorts), the
@@ -342,10 +372,14 @@ def run_tiler(
         # upstream bytes column the identical plan applies — bytes would
         # ride that one repartition.
         pre = todo.repartition(n_parts, "tile_id").sortWithinPartitions("tile_id")
+        files_dir = None
+        if tile_sink == "files":
+            files_dir = os.path.join(out_dir, "tiles_files")
+            os.makedirs(files_dir, exist_ok=True)
         encoded = (
-            encode_tiles_stream(pre)
+            encode_tiles_stream(pre, files_dir)
             if payload_source == "column"
-            else encode_tiles_from_slim(pre)
+            else encode_tiles_from_slim(pre, files_dir)
         )
         # atlas blobs are already entropy-coded (zlib) — parquet snappy on
         # top is pure JVM CPU for ~0 ratio; uncompressed halves the write
@@ -376,7 +410,16 @@ def run_tiler(
         ]
         try:
             if local_finish:
-                meta_pdf = spark.read.parquet(tiles_dir).select(*meta_cols).toPandas()
+                # pyarrow read of the local/shared tiles dir: the metadata is
+                # O(#tiles) and pruned to 9 small columns — launching a Spark
+                # job for it costs more (scheduling + task dispatch) than the
+                # read itself, and that cost lands in the serial tail that
+                # caps N->4N scaling
+                import pyarrow.parquet as _pq
+
+                meta_pdf = _pq.read_table(
+                    tiles_dir, columns=meta_cols
+                ).to_pandas()
                 _write_lineage_local(meta_pdf, lineage_dir, run_id)
                 timings["lineage"] = _t() - t0
             else:

@@ -705,6 +705,34 @@ FROM documents
 """
 
 
+def q_token_stats(spark, sf_dir):
+    """BPE-ish regex pre-tokenization (the GPT-2 pre-tokenizer's category
+    split, simplified to engine-portable classes): runs of letters, runs of
+    digits, single non-alphanumeric marks. Pure JVM regexp — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        r"CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT) AS n_word",
+        r"CAST(size(regexp_extract_all(lower(text), '[0-9]+', 0)) AS BIGINT) AS n_num",
+        r"CAST(size(regexp_extract_all(lower(text), '[^a-z0-9\\s]', 0)) AS BIGINT) AS n_mark",
+    ).selectExpr(
+        "doc_id", "n_word", "n_num", "n_mark",
+        "n_word + n_num + n_mark AS n_bpe_tokens",
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word,
+       len(regexp_extract_all(lower(text), '[0-9]+')) AS n_num,
+       len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_mark,
+       len(regexp_extract_all(lower(text), '[a-z]+'))
+         + len(regexp_extract_all(lower(text), '[0-9]+'))
+         + len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.selectExpr(
@@ -1039,9 +1067,103 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, _lang_oracle()),
     "quality_score": (q_quality, ORACLE_QUALITY),
     "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "ann_cosine_topk": (q_ann_cosine, ORACLE_ANN),
     "events_window": (q_events_window, ORACLE_EVENTS),
 }
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-dup by perceptual-hash hamming distance <= 3, at scale:
+    pigeonhole band blocking — split the 64-bit phash into 4 x 16-bit
+    bands; any pair within hamming 3 shares AT LEAST one exact band
+    (4 bands, ≤3 differing bits can dirty at most 3), so candidates come
+    from 4 equi-join buckets, never an all-pairs comparison. Exact
+    bit_count verify on candidates only. A jittered copy of every 10th
+    image (2 phash bits flipped) seeds true near-dups in both engines."""
+    feats = _feats(spark, sf_dir).select("image_id", "phash", "l_orderkey")
+    jit = feats.where("l_orderkey % 10 = 0").selectExpr(
+        "image_id || '_j' AS image_id", "phash ^ 5 AS phash", "l_orderkey"
+    )
+    allv = feats.unionByName(jit).select("image_id", "phash")
+    bands = allv.selectExpr(
+        "image_id", "phash",
+        "posexplode(array("
+        "  phash & 65535,"
+        "  shiftright(phash, 16) & 65535,"
+        "  shiftright(phash, 32) & 65535,"
+        "  shiftright(phash, 48) & 65535)) AS (band, bkey)",
+    )
+    a = bands.selectExpr("band", "bkey", "image_id AS id_a", "phash AS ph_a")
+    b = bands.selectExpr("band", "bkey", "image_id AS id_b", "phash AS ph_b")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .where("id_a < id_b")
+        .selectExpr("id_a", "id_b", "CAST(bit_count(ph_a ^ ph_b) AS BIGINT) AS hamming")
+        .where("hamming <= 3")
+        .distinct()
+    )
+    return pairs
+
+
+ORACLE_PHASH_DUP = oracle_prelude() + """
+, jit AS (
+  SELECT image_id || '_j' AS image_id, xor(phash, 5) AS phash
+  FROM features WHERE l_orderkey % 10 = 0
+),
+allv AS (
+  SELECT image_id, phash FROM features
+  UNION ALL SELECT image_id, phash FROM jit
+),
+bands AS (
+  SELECT image_id, phash, b.band,
+         CASE b.band
+           WHEN 0 THEN phash & 65535
+           WHEN 1 THEN (phash >> 16) & 65535
+           WHEN 2 THEN (phash >> 32) & 65535
+           ELSE (phash >> 48) & 65535 END AS bkey
+  FROM allv, (SELECT unnest([0, 1, 2, 3]) AS band) b
+)
+SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.image_id < b.image_id
+  AND bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def q_dup_components(spark, sf_dir):
+    """Transitive near-dup clustering: MinHash LSH pairs -> connected
+    components (min-label propagation + pointer jumping). The oracle
+    recomputes the closure with a DuckDB recursive CTE over the identical
+    pair set — two independent transitive-closure engines."""
+    from .operators.components import connected_components
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs))
+
+
+def _dup_components_oracle() -> str:
+    from .operators.dedup import minhash_oracle_sql
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash_oracle_sql()}) t
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lab FROM edges
+  UNION
+  SELECT e.dst AS node, r.lab
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1104,6 +1226,8 @@ def _register_extra():
             # here; value parity pinned by tests/test_s2.py (independent
             # scalar re-implementation + canonical face tokens).
             "s2_cells": (q_s2_cells, None),
+            "dup_components": (q_dup_components, _dup_components_oracle()),
+            "phash_near_dup": (q_phash_near_dup, ORACLE_PHASH_DUP),
             # k-means quantizer is SQL-inexpressible: rows-only check;
             # recall@k >= 0.9 vs brute force pinned by tests/test_ann_ivf.py
             "ann_ivf_topk": (q_ann_ivf, None),

@@ -57,3 +57,21 @@ def test_ivf_nprobe_full_is_exact(spark):
     for r in got:
         by_q.setdefault(r.q_id, set()).add(r.neighbor_id)
     assert by_q == _brute_topk(spark)
+
+
+def test_lsh_band_bits_dial(spark):
+    """The band-width dial: floors at 8 (bit-identical to the static
+    oracle) and widens with corpus size; a widened run still returns a
+    valid deterministic top-k subset."""
+    from py3dtilers_spark.operators.ann import ann_lsh_topk, lsh_band_bits
+
+    assert lsh_band_bits(1000) == 8
+    assert lsh_band_bits(10**6) == 8
+    assert lsh_band_bits(10**9) == 18
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    wide = ann_lsh_topk(emb, band_bits=10).collect()
+    wide2 = ann_lsh_topk(emb, band_bits=10).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, wide2))
+    # wider bands -> fewer candidates -> recall can only shrink; every pair
+    # returned must still be a genuine (q, neighbor) with rk 1..5
+    assert all(1 <= r.rk <= 5 for r in wide)

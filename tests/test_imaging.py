@@ -49,3 +49,46 @@ def test_attach_bytes_decodes_back(spark, sf_smoke):
             assert np.array_equal(img, ref)
         else:
             assert psnr(ref, img) >= 40.0
+
+
+def test_resize_nearest_hand_case():
+    import numpy as np
+
+    from py3dtilers_spark.functions.imaging import resize_nearest
+
+    # 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    img = np.array([[[0], [1]], [[2], [3]]], dtype=np.uint8)
+    up = resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 1)
+    assert (up[:2, :2] == 0).all() and (up[:2, 2:] == 1).all()
+    assert (up[2:, :2] == 2).all() and (up[2:, 2:] == 3).all()
+    # downscale back recovers the original exactly (centers align)
+    down = resize_nearest(up, 2, 2)
+    assert (down == img).all()
+
+
+def test_resize_tiles_stage(spark):
+    import numpy as np
+
+    from py3dtilers_spark.functions.imaging import (
+        decode, resize_nearest, synth_encode_batch, synth_pixels,
+    )
+    from py3dtilers_spark.functions.imaging import resize_tiles
+
+    ph = np.array([11, 22, 33], dtype=np.int64)
+    w = np.array([16, 24, 32], dtype=np.int32)
+    h = np.array([16, 20, 8], dtype=np.int32)
+    fmt = np.array(["png", "png", "png"])
+    blobs = synth_encode_batch(ph, w, h, fmt)
+    df = spark.createDataFrame(
+        [(f"i{k}", bytes(blobs[k]), int(w[k]), int(h[k]), "png") for k in range(3)],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    out = {r.image_id: r for r in resize_tiles(df, 12, 12).collect()}
+    assert set(out) == {"i0", "i1", "i2"}
+    for k in range(3):
+        r = out[f"i{k}"]
+        assert (r.w, r.h) == (12, 12)
+        got = decode(bytes(r.bytes))
+        want = resize_nearest(synth_pixels(int(ph[k]), int(w[k]), int(h[k])), 12, 12)
+        assert (got == want).all()  # png is lossless: exact pixel parity

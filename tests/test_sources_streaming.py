@@ -133,3 +133,20 @@ def test_streaming_matches_batch(spark, sf_smoke):
     assert len(a) == len(b)
     assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
     assert (a["value_e4"].to_numpy() == b["value_e4"].to_numpy()).all()
+
+
+def test_catalog_seam_parquet_path(spark, tmp_path):
+    """The table-format seam: parquet stand-in reads/writes; iceberg:
+    names demand the Iceberg runtime (absent here) and snapshot pinning is
+    rejected for plain paths."""
+    import pytest
+
+    from py3dtilers_spark.sources.catalog import read_table, write_table
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "t")
+    write_table(df, path, mode="overwrite")
+    back = read_table(spark, path)
+    assert back.count() == 5 and set(back.columns) == {"id", "v"}
+    with pytest.raises(ValueError):
+        read_table(spark, path, snapshot_id=3)

@@ -141,3 +141,37 @@ def test_local_finish_matches_distributed_rollup(spark, sf_smoke, tmp_path):
     assert set(lin.columns) == {
         "run_id", "cell_id", "row_count", "checksum", "completed_at"
     }
+
+
+def test_file_tile_sink_fidelity(spark, sf_smoke, tmp_path):
+    """tile_sink='files': payloads land as tiles_files/<tile_id>.bin with
+    the same fidelity invariants; the tiles parquet carries metadata only."""
+    out = str(tmp_path / "fs")
+    stats = run_tiler(
+        spark, sf_smoke, out, kd_tree_max=300, exact=False, tile_sink="files"
+    )
+    tiles = _read_tiles(spark, out)
+    assert (tiles["atlas"].map(len) == 0).all()  # no payload in parquet
+    files = os.listdir(os.path.join(out, "tiles_files"))
+    assert len(files) == stats["n_tiles"] == len(tiles)
+    from py3dtilers_spark.data import features_df
+
+    orig = {
+        r["image_id"]: (r["phash"], r["w"], r["h"], r["fmt"])
+        for r in features_df(spark, sf_smoke).collect()
+    }
+    checked = 0
+    for _, t in tiles.head(5).iterrows():
+        blob = open(os.path.join(out, "tiles_files", f"{t['tile_id']}.bin"), "rb").read()
+        atlas = decode(blob)
+        batch = json.loads(t["batch_json"])
+        for iid, (x, y, w, h) in zip(batch["ids"], batch["uv"]):
+            ph, ww, hh, fmt = orig[iid]
+            want = synth_pixels(ph, w, h)
+            got = atlas[y : y + h, x : x + w]
+            if fmt == "png":
+                assert (got == want).all()
+            else:
+                assert psnr(got, want) >= 40.0
+            checked += 1
+    assert checked > 0

@@ -25,6 +25,19 @@ def _shm_dir() -> str:
 
 def main() -> None:
     cores = int(sys.argv[1])
+    # Pin the WHOLE process tree (this driver, the JVM it launches, and the
+    # python workers the JVM forks — all inherit the affinity mask) to
+    # exactly `cores` CPUs. local[N] alone is NOT an N-core executor: the
+    # JVM's shuffle/IO/GC threads and the separate python worker processes
+    # spill onto extra physical cores, inflating the lo side of the scaling
+    # pair. A real cluster executor is cgroup-bound to its core count;
+    # sched_setaffinity is the single-host equivalent.
+    try:
+        ncpu = os.cpu_count() or cores
+        # top of the CPU range: cpu0 carries the host's timer/softirq load
+        os.sched_setaffinity(0, set(range(ncpu - cores, ncpu)))
+    except (AttributeError, OSError):
+        pass
     input_path = sys.argv[2]
     out_dir = sys.argv[3]
     n_rows = int(sys.argv[4])
@@ -43,8 +56,12 @@ def main() -> None:
         cores=cores,
         shuffle_partitions=cores,
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
+            # 64 MB splits: the materialized input is ~1.7 GB in 128 small
+            # files; 256 MB bins pack it into ~7 map tasks — 2 ragged waves
+            # at 4 cores (25% idle in the map stage). 64 MB yields ~28
+            # well-balanced splits at negligible per-task cost.
+            "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
             # payload bytes are pre-compressed (zlib member blobs): lz4-ing
             # the shuffle again burns JVM cycles that contend with the
             # Python encode workers for the same physical cores
@@ -71,6 +88,7 @@ def main() -> None:
         features=feats,
         payload_source="column",
         n_rows_hint=n_rows,
+        tile_sink="files",
     )
     sec = time.time() - t0
     spark.stop()
