@@ -51,11 +51,11 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 # helper threads + python workers spill onto extra physical cores, which
 # inflates the lo side — pinning makes "N cores" mean N cores, exactly like
 # a cluster executor's cgroup.
-SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "3"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 # hard wall-clock budget for the SCALING CHAIN: when exceeded, stop sampling
 # and report the estimates collected so far (never die without output)
-SCALE_DEADLINE = int(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE", "2400"))
+SCALE_DEADLINE = int(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE", "3000"))
 # a pair is only EVIDENCE when the adjacent bare-kernel calibration shows the
 # host itself could scale in that window
 GOOD_WINDOW = 0.6
@@ -201,11 +201,16 @@ def main() -> None:
     from py3dtilers_spark.session import get_spark
 
     spark = get_spark("bench_queries", cores=CPUS, shuffle_partitions=CPUS)
+    reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        queries[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
     spark.stop()
 
     # --- scaling: BRACKETED chain lo, hi, lo, hi, ..., lo -----------------
@@ -230,8 +235,12 @@ def main() -> None:
     # measured job efficiency — no outcome-based selection.
     n_good = 0
     chain_t0 = time.time()
+    # keep sampling until SCALE_PAIRS calibration-clean estimates land; a
+    # chain that has seen ONLY dirty windows may extend to 2x+1 total pairs
+    # (the r3 recording shows why: a 40-minute host degradation swallowed a
+    # whole default-length chain)
     while (
-        len(pairs) < SCALE_PAIRS + 1
+        len(pairs) < (SCALE_PAIRS + 1 if n_good else 2 * SCALE_PAIRS + 1)
         and n_good < SCALE_PAIRS
         and (not pairs or time.time() - chain_t0 < SCALE_DEADLINE)
     ):
