@@ -57,8 +57,14 @@ SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 # and report the estimates collected so far (never die without output)
 SCALE_DEADLINE = int(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE", "3000"))
 # a pair is only EVIDENCE when the adjacent bare-kernel calibration shows the
-# host itself could scale in that window
+# host itself could scale in that window...
 GOOD_WINDOW = 0.6
+# ...AND was delivering its normal absolute throughput: the r3 record shows
+# windows where the kernel RATIO scaled (0.87) while the host ran 2-4x
+# below its norm on every workload — background contention that taxes the
+# Spark runs far more than the 30 s mp pool. Healthy windows measure 60-75
+# calib tiles/sec at 4 procs; degraded ones 45-57.
+GOOD_ABS_HI = float(os.environ.get("SPARK_GRAFT_GOOD_ABS_HI", "58"))
 KD_MAX = int(os.environ.get("SPARK_GRAFT_SCALE_KD_MAX", "500"))
 # per-pair progress log (survives a killed chain)
 SCALE_LOG = os.environ.get(
@@ -265,7 +271,7 @@ def main() -> None:
                 ),
             }
         )
-        if c["machine_efficiency"] >= GOOD_WINDOW:
+        if c["machine_efficiency"] >= GOOD_WINDOW and c["tiles_per_sec_hi"] >= GOOD_ABS_HI:
             n_good += 1
         lo_prev = lo_next
         # incremental evidence: a killed/timed-out chain still leaves every
@@ -282,6 +288,11 @@ def main() -> None:
     # the job's scaling shape — such estimates are excluded from the median
     # (never from the record).
     good = [
+        p
+        for p, c in zip(pairs, calibs)
+        if c["machine_efficiency"] >= GOOD_WINDOW
+        and c["tiles_per_sec_hi"] >= GOOD_ABS_HI
+    ] or [
         p for p, c in zip(pairs, calibs) if c["machine_efficiency"] >= GOOD_WINDOW
     ] or pairs
     effs = [p["eff"] for p in pairs]
@@ -325,7 +336,8 @@ def main() -> None:
             "efficiency_normalized": round(med_norm, 3),
             "efficiency_normalized_pairs": [p["eff_normalized"] for p in pairs],
             "windows_used": len(good),
-            "window_gate": f"adjacent kernel calibration >= {GOOD_WINDOW}",
+            "window_gate": f"adjacent kernel calibration eff >= {GOOD_WINDOW}"
+                           f" AND abs >= {GOOD_ABS_HI} tiles/s at hi",
             "machine_calibration": calib,
             "machine_calibration_pairs": [c["machine_efficiency"] for c in calibs],
             "timings_lo": rep["lo"].get("timings", {}),
