@@ -43,7 +43,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # measures the JOB's scaling shape, not the host ceiling: r3 clean-window
 # raw pair = 0.861 at (1,4) vs ~0.72 at (2,8).
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-# 4 copies (2.4M rows): with the file tile sink the runs are ~2.5x faster
+# 3 copies (1.8M rows): with the file tile sink the runs are ~2.5x faster
 # than the r2-era parquet sink, so a larger parallel phase fits the chain
 # deadline and amortizes the fixed tail (kd walk + worker startup +
 # lineage/manifest, ~6-9 s) to ~2% of the lo run. Each run is CPU-pinned
