@@ -241,6 +241,13 @@ def main() -> None:
     # measured job efficiency — no outcome-based selection.
     n_good = 0
     chain_t0 = time.time()
+
+    def _gate(c: dict) -> bool:
+        return (
+            c["machine_efficiency"] >= GOOD_WINDOW
+            and c["tiles_per_sec_hi"] >= GOOD_ABS_HI
+        )
+
     # keep sampling until SCALE_PAIRS calibration-clean estimates land; a
     # chain that has seen ONLY dirty windows may extend to 2x+1 total pairs
     # (the r3 recording shows why: a 40-minute host degradation swallowed a
@@ -271,7 +278,7 @@ def main() -> None:
                 ),
             }
         )
-        if c["machine_efficiency"] >= GOOD_WINDOW and c["tiles_per_sec_hi"] >= GOOD_ABS_HI:
+        if _gate(c):
             n_good += 1
         lo_prev = lo_next
         # incremental evidence: a killed/timed-out chain still leaves every
@@ -281,6 +288,12 @@ def main() -> None:
                 fh.write(json.dumps({"pair": pairs[-1], "calib": c}) + "\n")
         except OSError:
             pass
+    # closing calibration: each pair is certified by the calibrations on
+    # BOTH sides (a 30 s probe before a ~10 min pair cannot attribute a
+    # volatile window alone — the r3 record shows a 0.877-eff/59.6-t/s
+    # pre-calib attached to a pair whose runs were 2.3x degraded; the
+    # post-calib catches the shift)
+    calibs.append(_machine_calibration(n_lo, n_hi))
     calib = calibs[len(calibs) // 2]
 
     # window gating: a window where the bare kernel itself can't reach 0.6
@@ -289,11 +302,13 @@ def main() -> None:
     # (never from the record).
     good = [
         p
-        for p, c in zip(pairs, calibs)
-        if c["machine_efficiency"] >= GOOD_WINDOW
-        and c["tiles_per_sec_hi"] >= GOOD_ABS_HI
+        for i, p in enumerate(pairs)
+        if _gate(calibs[i]) and _gate(calibs[i + 1])
     ] or [
-        p for p, c in zip(pairs, calibs) if c["machine_efficiency"] >= GOOD_WINDOW
+        p
+        for i, p in enumerate(pairs)
+        if calibs[i]["machine_efficiency"] >= GOOD_WINDOW
+        and calibs[i + 1]["machine_efficiency"] >= GOOD_WINDOW
     ] or pairs
     effs = [p["eff"] for p in pairs]
     med_eff = statistics.median(p["eff"] for p in good)
@@ -336,8 +351,8 @@ def main() -> None:
             "efficiency_normalized": round(med_norm, 3),
             "efficiency_normalized_pairs": [p["eff_normalized"] for p in pairs],
             "windows_used": len(good),
-            "window_gate": f"adjacent kernel calibration eff >= {GOOD_WINDOW}"
-                           f" AND abs >= {GOOD_ABS_HI} tiles/s at hi",
+            "window_gate": f"bracketing calibrations (pre AND post) eff >="
+                           f" {GOOD_WINDOW} AND abs >= {GOOD_ABS_HI} tiles/s at hi",
             "machine_calibration": calib,
             "machine_calibration_pairs": [c["machine_efficiency"] for c in calibs],
             "timings_lo": rep["lo"].get("timings", {}),
