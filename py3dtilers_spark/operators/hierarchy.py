@@ -206,7 +206,8 @@ def write_manifest_sharded(tree_df: DataFrame, out_dir: str, shard_depth: int = 
     )
 
     summary_schema = (
-        "tile_id string, uri string, n_features bigint, geometric_error double,"
+        "tile_id string, uri string, n_features bigint, n_leaves bigint,"
+        " geometric_error double,"
         " xmin double, xmax double, ymin double, ymax double,"
         " zmin double, zmax double"
     )
@@ -233,16 +234,19 @@ def write_manifest_sharded(tree_df: DataFrame, out_dir: str, shard_depth: int = 
                 fh,
             )
         r = rows[shard]
+        # leaf count rides the summary row so the caller never needs a
+        # second count job over the tree (the serial tail matters at scale)
+        n_leaves = int(sum(1 for v in rows.values() if v["is_leaf"]))
         return _pd.DataFrame(
             [
                 (
-                    shard, uri, r["n_features"], r["geometric_error"],
+                    shard, uri, r["n_features"], n_leaves, r["geometric_error"],
                     r["xmin"], r["xmax"], r["ymin"], r["ymax"],
                     r["zmin"], r["zmax"],
                 )
             ],
             columns=[
-                "tile_id", "uri", "n_features", "geometric_error",
+                "tile_id", "uri", "n_features", "n_leaves", "geometric_error",
                 "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
             ],
         )
@@ -275,6 +279,13 @@ def write_manifest_sharded(tree_df: DataFrame, out_dir: str, shard_depth: int = 
     }
     with open(os.path.join(out_dir, "tileset.json"), "w") as fh:
         json.dump(m, fh)
+    # counts for the caller (computed from the shard summaries + the shallow
+    # rows — no extra Spark job); added AFTER the file write so the on-disk
+    # tileset.json stays spec-shaped
+    m["_n_leaves"] = int(
+        sum(r["n_leaves"] for r in shard_rows.values())
+        + sum(1 for r in top_rows.values() if r.get("is_leaf"))
+    )
     return m
 
 

@@ -39,14 +39,24 @@ def dense_index(
         ranged.withColumn("_pid", F.spark_partition_id())
         .withColumn("_rn", F.row_number().over(w))
     )
-    # exclusive prefix sum over per-partition counts: #partitions rows, so
-    # the single-partition window HERE is a handful of longs, not the data
-    wofs = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # exclusive prefix sum over per-partition counts: #partitions rows (a
+    # handful of longs), computed as a triangular self-join instead of an
+    # un-partitioned window — O(P^2) on P = #shuffle partitions is free,
+    # stays fully lazy, and never trips Spark's single-partition WindowExec
+    # path (whose warning exists for accidental whole-dataset windows)
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_ofs", F.coalesce(F.sum("_cnt").over(wofs), F.lit(0)))
-        .select("_pid", "_ofs")
+        counts.alias("a")
+        .join(
+            counts.select(
+                F.col("_pid").alias("_bpid"), F.col("_cnt").alias("_bcnt")
+            ),
+            F.col("_bpid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy("a._pid")
+        .agg(F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("_ofs"))
+        .select(F.col("a._pid").alias("_pid"), "_ofs")
     )
     return (
         local.join(F.broadcast(offsets), "_pid")

@@ -53,7 +53,7 @@ def _write_lineage_local(meta_pdf: pd.DataFrame, lineage_dir: str, run_id: str) 
     shutil.rmtree(lineage_dir, ignore_errors=True)
     os.makedirs(lineage_dir, exist_ok=True)
     n = len(meta_pdf)
-    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    now = datetime.datetime.now(datetime.timezone.utc)
     tbl = pa.table(
         {
             "run_id": pa.array([run_id] * n, type=pa.string()),
@@ -62,7 +62,11 @@ def _write_lineage_local(meta_pdf: pd.DataFrame, lineage_dir: str, run_id: str) 
                 meta_pdf["n_features"].to_numpy(dtype="int64"), type=pa.int64()
             ),
             "checksum": pa.array(meta_pdf["checksum"].astype(str), type=pa.string()),
-            "completed_at": pa.array([now] * n, type=pa.timestamp("us")),
+            # tz-aware timestamp (isAdjustedToUTC=true) so this layout reads
+            # back as the SAME parquet type as the distributed writer's
+            # F.current_timestamp() — lineage from the two finish paths can
+            # be unioned / resumed across without schema drift
+            "completed_at": pa.array([now] * n, type=pa.timestamp("us", tz="UTC")),
         }
     )
     pq.write_table(tbl, os.path.join(lineage_dir, "part-00000.parquet"))
@@ -287,6 +291,18 @@ def run_tiler(
     else:
         base = src.select(*slim_cols).persist()
     n_rows = n_rows_hint if n_rows_hint is not None else base.count()
+    # 100x finish auto-switch: above this many (estimated) leaf tiles the
+    # driver-side finish (single-manifest collect / pyarrow metadata read)
+    # stops being "tiny" — lineage, tree roll-up, and the manifest then run
+    # distributed, with executor-sharded external tilesets. The estimate
+    # needs no job: leaves ~= n_rows / kd_tree_max by construction.
+    auto_shard_tiles = int(os.environ.get("SPARK_GRAFT_AUTO_SHARD_TILES", "2048"))
+    est_leaves = max(1, int(n_rows) // max(kd_tree_max, 1))
+    if manifest_shard_depth is None and est_leaves > auto_shard_tiles:
+        # shards ~= sqrt(#leaves): driver holds 2^depth stubs, each shard
+        # holds ~#leaves/2^depth nodes — both stay far below driver memory
+        # out to 10^12 rows (2^31 leaves -> 2^16 shards of ~2^15 leaves)
+        manifest_shard_depth = max(2, (est_leaves.bit_length() + 1) // 2)
     # size encode tasks by their OUTPUT (~35k payload rows each): large
     # per-task payload buffers degrade superlinearly (page-fault pressure),
     # and AQE only sees the tiny columnar input. Round up to whole waves of
@@ -460,7 +476,8 @@ def run_tiler(
         from ..operators.hierarchy import write_manifest_sharded
 
         m = write_manifest_sharded(tree, out_dir, manifest_shard_depth)
-        n_leaves = tree.where("is_leaf").count()
+        # counts come back on the shard summaries — no extra job on the tree
+        n_leaves = m["_n_leaves"]
         n_features = m["root"].get("n_features", 0) if m.get("root") else 0
     else:
         # single collect: the manifest dict also answers the leaf/feature
@@ -479,8 +496,15 @@ def run_tiler(
     timings["manifest"] = _t() - t0
     if payload_source != "column":
         base.unpersist()
+    if with_payload and meta_pdf is not None:
+        finish = "local"
+    elif manifest_shard_depth is not None:
+        finish = f"sharded:d{manifest_shard_depth}"
+    else:
+        finish = "driver-manifest"
     return {
         "n_features": int(n_features),
         "n_tiles": int(n_leaves),
+        "finish": finish,
         "timings": {k: round(v, 2) for k, v in timings.items()},
     }

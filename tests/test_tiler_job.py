@@ -143,6 +143,34 @@ def test_local_finish_matches_distributed_rollup(spark, sf_smoke, tmp_path):
     }
 
 
+def test_auto_shard_finish(spark, sf_smoke, tmp_path, monkeypatch):
+    """Above the tile-count threshold the pipeline auto-selects the 100x
+    finish (distributed lineage + executor-sharded manifest) with no opt-in
+    flag, and its resolved manifest equals the local finish's byte-for-byte.
+    Lineage from the two finish paths must read back with identical types
+    (the pyarrow writer emits tz-aware timestamps like F.current_timestamp)."""
+    from py3dtilers_spark.operators.hierarchy import read_manifest_resolved
+
+    out_a = str(tmp_path / "local")
+    out_b = str(tmp_path / "auto")
+    ra = run_tiler(spark, sf_smoke, out_a, kd_tree_max=300, exact=False)
+    assert ra["finish"] == "local"
+    monkeypatch.setenv("SPARK_GRAFT_AUTO_SHARD_TILES", "4")
+    rb = run_tiler(spark, sf_smoke, out_b, kd_tree_max=300, exact=False)
+    assert rb["finish"].startswith("sharded:")
+    assert (ra["n_features"], ra["n_tiles"]) == (rb["n_features"], rb["n_tiles"])
+    with open(os.path.join(out_a, "tileset.json")) as fh:
+        local = json.load(fh)
+    assert read_manifest_resolved(out_b) == local
+    assert os.listdir(os.path.join(out_b, "sub"))
+    la = spark.read.parquet(os.path.join(out_a, "lineage"))
+    lb = spark.read.parquet(os.path.join(out_b, "lineage"))
+    assert [(f.name, f.dataType) for f in la.schema.fields] == [
+        (f.name, f.dataType) for f in lb.schema.fields
+    ]
+    assert lb.count() == rb["n_tiles"]
+
+
 def test_file_tile_sink_fidelity(spark, sf_smoke, tmp_path):
     """tile_sink='files': payloads land as tiles_files/<tile_id>.bin with
     the same fidelity invariants; the tiles parquet carries metadata only."""
