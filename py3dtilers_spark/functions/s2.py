@@ -138,11 +138,19 @@ def id_to_face_ij(cid: np.ndarray):
     i = np.zeros_like(cid)
     j = np.zeros_like(cid)
     nbits_mask = np.uint64((1 << (2 * _LOOKUP_BITS)) - 1)
+    # the TOP chunk (k=7) holds only 2*(MAX_LEVEL - 7*_LOOKUP_BITS) = 4
+    # position bits — bits 61-63 above it are the FACE, and masking a full
+    # 8-bit chunk there would leak face bits into the Hilbert lookup index
+    # (wrong i/j on faces 1-5). Matches the canonical S2 decode's per-round
+    # nbits = kMaxLevel - 7*kLookupBits on the first iteration.
+    top_mask = np.uint64((1 << (2 * (MAX_LEVEL - 7 * _LOOKUP_BITS))) - 1)
     mask = np.uint64((1 << _LOOKUP_BITS) - 1)
     for k in range(7, -1, -1):
         # level-30 position occupies bits 1..60; chunk k holds curve bits
         # [k*8, k*8+8) of that position
-        pos_chunk = (cid >> np.uint64(k * 2 * _LOOKUP_BITS + 1)) & nbits_mask
+        pos_chunk = (cid >> np.uint64(k * 2 * _LOOKUP_BITS + 1)) & (
+            top_mask if k == 7 else nbits_mask
+        )
         bits += pos_chunk << np.uint64(2)
         bits = _LOOKUP_IJ[bits.astype(np.int64)].astype(np.uint64)
         i |= ((bits >> np.uint64(_LOOKUP_BITS + 2)) & mask) << np.uint64(

@@ -235,23 +235,10 @@ QUALIFY rk <= {k}
 # bucketed op in the engine, no broadcast of the big side anywhere.
 
 
-def ivf_train_centroids(
-    emb: DataFrame, n_centroids: int = 16, sample_cap: int = 4096, iters: int = 8
-) -> np.ndarray:
-    """Deterministic coarse quantizer: a hash-ordered sample (bounded at
-    `sample_cap` rows — constant driver memory at ANY corpus size) and a
-    few Lloyd iterations in numpy, init = first k rows of the hash order.
-    Unit-normalized so assignment maximizes cosine via dot product."""
-    sample = (
-        emb.selectExpr(
-            "vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e"
-        )
-        .orderBy(F.xxhash64("vec_id"))
-        .limit(sample_cap)
-        .collect()
-    )
-    x = np.array([r.e for r in sample], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+def _lloyd(x: np.ndarray, n_centroids: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd iterations: init = first k rows (caller fixes
+    row order), unit-normalized so assignment maximizes cosine via dot."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cent = x[:n_centroids].copy()
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)
@@ -261,6 +248,91 @@ def ivf_train_centroids(
                 v = x[m].mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
     return cent
+
+
+def ivf_train_centroids(
+    emb: DataFrame, n_centroids: int = 16, sample_cap: int = 4096, iters: int = 8
+) -> np.ndarray:
+    """Deterministic coarse quantizer: a hash-ordered sample (bounded at
+    `sample_cap` rows — constant driver memory at ANY corpus size, and an
+    unbiased subset because xxhash64 order is data-position-free), re-sorted
+    by vec_id so the k-means init does not depend on which engine drew the
+    sample — ivf_centroids_from_parquet reproduces these centroids exactly
+    whenever the corpus fits the cap (the oracle-gate regime)."""
+    sample = (
+        emb.selectExpr(
+            "vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e"
+        )
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    sample = sorted(sample, key=lambda r: r.vec_id)
+    x = np.array([r.e for r in sample], dtype=np.float64)
+    return _lloyd(x, n_centroids, iters)
+
+
+def ivf_centroids_from_parquet(
+    path: str, n_centroids: int = 16, sample_cap: int = 4096, iters: int = 8
+) -> "np.ndarray | None":
+    """Spark-free twin of ivf_train_centroids for oracle-SQL generation:
+    valid only when the whole table fits the sample cap (then both trainers
+    see the identical vec_id-sorted row set). Returns None beyond the cap."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    if tbl.num_rows > sample_cap:
+        return None
+    pdf = tbl.to_pandas().sort_values("vec_id")
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    return _lloyd(x, n_centroids, iters)
+
+
+def ann_ivf_oracle_sql(
+    cent: np.ndarray, query_mod: int = 100, k: int = 5, nprobe: int = 4
+) -> str:
+    """DuckDB oracle for ann_ivf_topk with the TRAINED centroid matrix
+    embedded as literals (the same device the LSH oracle uses for its
+    hyperplanes): assignment = argmax dot(e, c) (ties -> lowest cid, the
+    np.argmax rule), probe = top-nprobe cells, exact cosine rerank over
+    cell-joined candidates."""
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in cent[i])
+        )
+        for i in range(len(cent))
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), bucketed AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM base
+), cents AS (
+  SELECT * FROM (VALUES {rows}) t(cid, c)
+), scoredc AS (
+  SELECT b.vec_id, b.e, b.nrm, c.cid, list_dot_product(b.e, c.c) AS s
+  FROM bucketed b CROSS JOIN cents c
+), ranked AS (
+  SELECT vec_id, e, nrm, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+  FROM scoredc
+), corpus AS (
+  SELECT vec_id, e, nrm, cid AS cell FROM ranked WHERE r = 1
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn, cid AS cell
+  FROM ranked WHERE r <= {nprobe} AND vec_id % {query_mod} = 0
+), cand AS (
+  SELECT DISTINCT f.vec_id, f.e, f.nrm, q.q_id, q.qe, q.qn
+  FROM corpus f JOIN q USING (cell)
+  WHERE f.vec_id <> q.q_id
+)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY list_dot_product(e, qe) / (nrm * qn) DESC, vec_id) AS INT) AS rk,
+       vec_id AS neighbor_id
+FROM cand
+QUALIFY rk <= {k}
+"""
 
 
 def ann_ivf_topk(
@@ -276,18 +348,21 @@ def ann_ivf_topk(
 
     cent = ivf_train_centroids(emb, n_centroids)
 
+    # assignment ranks by UNnormalized dot(e, c): centroids are unit-norm so
+    # the ranking equals cosine, and the oracle SQL computes the identical
+    # expression (list_dot_product(e, c)) — no normalize step whose rounding
+    # could flip near-ties between the engines. Ties -> lowest cid in both
+    # (np.argmax first-max rule / ORDER BY s DESC, cid).
     @F.pandas_udf(LongType())
     def _cell(es: pd.Series) -> pd.Series:
         x = np.array(es.tolist(), dtype=np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(x @ cent.T, axis=1).astype(np.int64))
 
     @F.pandas_udf(ArrayType(LongType()))
     def _probe(es: pd.Series) -> pd.Series:
         x = np.array(es.tolist(), dtype=np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        top = np.argsort(-(x @ cent.T), axis=1)[:, :nprobe].astype(np.int64)
-        return pd.Series(list(top))
+        top = np.argsort(-(x @ cent.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype(np.int64)))
 
     base = emb.selectExpr(
         "vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e"

@@ -41,12 +41,24 @@ def rasterize_rects(
     hi_gx = F.ceil((F.col("xmax") - F.lit(x0)) / c - F.lit(0.5)) - F.lit(1)
     lo_gy = F.ceil((F.col("ymin") - F.lit(y0)) / c - F.lit(0.5))
     hi_gy = F.ceil((F.col("ymax") - F.lit(y0)) / c - F.lit(0.5)) - F.lit(1)
+    # a rect narrower/shorter than a cell can cover NO cell center, making
+    # hi < lo — and Spark's sequence(start, stop) then defaults to step -1
+    # and emits a DESCENDING (phantom) range instead of an empty one. Filter
+    # zero-coverage spans before each explode.
     return (
         polys.select(
             "polygon_id",
-            F.explode(F.sequence(lo_gx, hi_gx)).alias("gx"),
+            lo_gx.alias("lo_gx"),
+            hi_gx.alias("hi_gx"),
             lo_gy.alias("lo_gy"),
             hi_gy.alias("hi_gy"),
+        )
+        .where((F.col("hi_gx") >= F.col("lo_gx")) & (F.col("hi_gy") >= F.col("lo_gy")))
+        .select(
+            "polygon_id",
+            F.explode(F.sequence(F.col("lo_gx"), F.col("hi_gx"))).alias("gx"),
+            "lo_gy",
+            "hi_gy",
         )
         .select(
             "polygon_id",

@@ -65,26 +65,18 @@ SELECT image_id, fmt, w, h FROM features WHERE l_orderkey % 500 = 0
 """
 
 
-def q_filter_prec(spark, sf_dir):
-    return (
-        _feats(spark, sf_dir)
-        .where(F.col("prec_alti") < 9999)
-        .groupBy("fmt")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("w").alias("min_w"), F.max("h").alias("max_h"))
-    )
-
-
-ORACLE_PREC = oracle_prelude() + """
-SELECT fmt, count(*) AS n, min(w) AS min_w, max(h) AS max_h
-FROM features WHERE prec_alti < 9999 GROUP BY fmt
-"""
-
-
 # ---------------------------------------------------------------------------
 # P1/P3/P4 projections (feature.py:282-342): translate + z-scale + scale
 # about the global centroid. Centroid derived from exact integer sums.
 
 def q_transform(spark, sf_dir):
+    """The reference's row-wise transform family composed in ONE column
+    pipeline: P1 translate + P3 height multiplier + P4 scale about the
+    global centroid (feature.py:282-342), P5 z-up -> y-up swap
+    (tileset_creation.py:157-160: (x, y, z) -> (x, z, -y)), and P9
+    property-coalesce Z override (geojson.py:65-87). One scan, one
+    broadcast of the 1-row centroid — at any scale these are free
+    map-side expressions, so one oracle query pins all five."""
     feats = _feats(spark, sf_dir)
     cent = feats.agg(
         F.expr(f"1843000.0 + CAST(SUM({_HX}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0").alias("cx"),
@@ -99,6 +91,11 @@ def q_transform(spark, sf_dir):
             "z * 2.5 AS sz",                       # P3 height multiplier
             "(x - cx) * 2.0 + cx AS scaled_x",     # P4 scale about centroid
             "(y - cy) * 2.0 + cy AS scaled_y",
+            "z AS yup_y",                          # P5 z-up -> y-up
+            "-y AS yup_z",
+            # P9 Z override: property (NULL for every 3rd row) -> constant
+            "coalesce(CASE WHEN h2 % 3 = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(10 + h2 % 40 AS DOUBLE) END, 50.0) AS z_out",
         )
     )
 
@@ -108,7 +105,11 @@ SELECT image_id,
        x + 100.0 AS tx,
        z * 2.5 AS sz,
        (x - cx) * 2.0 + cx AS scaled_x,
-       (y - cy) * 2.0 + cy AS scaled_y
+       (y - cy) * 2.0 + cy AS scaled_y,
+       z AS yup_y,
+       -y AS yup_z,
+       coalesce(CASE WHEN h2 % 3 = 0 THEN NULL
+                     ELSE CAST(10 + h2 % 40 AS DOUBLE) END, 50.0) AS z_out
 FROM features CROSS JOIN (
   SELECT 1843000.0 + CAST(SUM({_HX}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0 AS cx,
          5173000.0 + CAST(SUM({_HY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10.0 AS cy
@@ -121,58 +122,34 @@ WHERE l_orderkey % 100 = 0
 # A2 global bbox (feature.py:101-111)
 
 def q_bbox(spark, sf_dir):
+    """A2 global bbox + A6 attribute min/max + distinct counts
+    (geojson.py:117-126) + F3 precision filter (tiler.py:242-245), the
+    filter expressed as filtered aggregates over the SAME single scan —
+    one partial-aggregated reduce at any scale."""
     return _feats(spark, sf_dir).agg(
         F.min("x").alias("xmin"), F.max("x").alias("xmax"),
         F.min("y").alias("ymin"), F.max("y").alias("ymax"),
         F.min("z").alias("zmin"), F.max("z").alias("zmax"),
         F.count(F.lit(1)).alias("n"),
+        F.min("prec_alti").alias("min_prec"),
+        F.max("prec_alti").alias("max_prec"),
+        F.countDistinct("fmt").alias("n_fmt"),
+        F.countDistinct("w").alias("n_w"),
+        # F3: the precision predicate as conditional aggregates
+        F.count(F.when(F.col("prec_alti") < 9999, 1)).alias("n_prec_ok"),
+        F.min(F.when(F.col("prec_alti") < 9999, F.col("w"))).alias("prec_min_w"),
+        F.max(F.when(F.col("prec_alti") < 9999, F.col("h"))).alias("prec_max_h"),
     )
 
 
 ORACLE_BBOX = oracle_prelude() + """
 SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax,
-       min(z) AS zmin, max(z) AS zmax, count(*) AS n
-FROM features
-"""
-
-
-# ---------------------------------------------------------------------------
-# A4 cube group-by (group.py:201-224), per-feature variant: rint = half-even
-# = Python round() = DuckDB round_even.
-
-def q_cube_groupby(spark, sf_dir):
-    feats = _feats(spark, sf_dir)
-    return (
-        feats.withColumn("cube_x", F.expr("rint(x / 1000.0) * 1000.0"))
-        .withColumn("cube_y", F.expr("rint(y / 1000.0) * 1000.0"))
-        .groupBy("cube_x", "cube_y")
-        .agg(F.count(F.lit(1)).alias("n_features"))
-    )
-
-
-ORACLE_CUBE = oracle_prelude() + """
-SELECT round_even(x / 1000.0, 0) * 1000.0 AS cube_x,
-       round_even(y / 1000.0, 0) * 1000.0 AS cube_y,
-       count(*) AS n_features
-FROM features GROUP BY 1, 2
-"""
-
-
-# ---------------------------------------------------------------------------
-# A6 attribute min/max + distinct values (geojson.py:117-126)
-
-def q_attr_minmax(spark, sf_dir):
-    return _feats(spark, sf_dir).agg(
-        F.min("prec_alti").alias("min_prec"),
-        F.max("prec_alti").alias("max_prec"),
-        F.countDistinct("fmt").alias("n_fmt"),
-        F.countDistinct("w").alias("n_w"),
-    )
-
-
-ORACLE_ATTR = oracle_prelude() + """
-SELECT min(prec_alti) AS min_prec, max(prec_alti) AS max_prec,
-       count(DISTINCT fmt) AS n_fmt, count(DISTINCT w) AS n_w
+       min(z) AS zmin, max(z) AS zmax, count(*) AS n,
+       min(prec_alti) AS min_prec, max(prec_alti) AS max_prec,
+       count(DISTINCT fmt) AS n_fmt, count(DISTINCT w) AS n_w,
+       count(CASE WHEN prec_alti < 9999 THEN 1 END) AS n_prec_ok,
+       min(CASE WHEN prec_alti < 9999 THEN w END) AS prec_min_w,
+       max(CASE WHEN prec_alti < 9999 THEN h END) AS prec_max_h
 FROM features
 """
 
@@ -292,24 +269,6 @@ GROUP BY c_mktsegment, o_orderpriority
 
 
 # ---------------------------------------------------------------------------
-# U5 dedup + dense re-index (obj_writer.py:31-56): distinct (w, h) with
-# deterministic dense ids via row_number over the sorted distinct set.
-
-def q_dedup_dense_index(spark, sf_dir):
-    from .operators.indexing import dense_index
-
-    feats = _feats(spark, sf_dir)
-    idx = dense_index(feats.select("w", "h").distinct(), ["w", "h"], "dense_id")
-    return idx.select("w", "h", F.col("dense_id").cast("int").alias("dense_id"))
-
-
-ORACLE_DEDUP_DENSE = oracle_prelude() + """
-SELECT w, h, CAST(row_number() OVER (ORDER BY w, h) AS INT) - 1 AS dense_id
-FROM (SELECT DISTINCT w, h FROM features) d
-"""
-
-
-# ---------------------------------------------------------------------------
 # U4 material dedup + remap (reference material cleanup: distinct materials
 # get dense indices and every feature's material pointer is rewritten —
 # Color/color_config.py + obj_writer material dict). Key = (fmt, color
@@ -381,95 +340,45 @@ JOIN (SELECT image_id FROM f2_verts GROUP BY image_id
 # IDENTICAL to the plain join / plain group-by (that is the whole point).
 
 def q_skew_join_salted(spark, sf_dir):
-    from .operators.skew import salted_join
-
-    feats = _feats(spark, sf_dir).select("image_id", "fmt")
-    dim = _feats(spark, sf_dir).groupBy("fmt").agg(
-        F.count(F.lit(1)).alias("fmt_n")
-    )
-    return salted_join(feats, dim, key="fmt", salt_src="image_id", n_salt=8)
-
-
-ORACLE_SKEW_JOIN = oracle_prelude() + """
-SELECT f.fmt, f.image_id, d.fmt_n
-FROM features f
-JOIN (SELECT fmt, count(*) AS fmt_n FROM features GROUP BY fmt) d
-  ON d.fmt = f.fmt
-"""
-
-
-def q_cell_stats_salted(spark, sf_dir):
-    from .operators.skew import salted_two_stage_agg
+    """Both explicit skew mechanisms in one pipeline: the salted hot-key
+    JOIN (skew.py:28 — fmt has 3 values over the whole table, the genuinely
+    hot key) feeding the salted TWO-STAGE AGG (skew.py:50) over the joined
+    rows, grouped by 1 km cell. Results must be identical to the unsalted
+    plan — that is the whole point, and what the oracle pins."""
+    from .operators.skew import salted_join, salted_two_stage_agg
 
     feats = _feats(spark, sf_dir).selectExpr(
         "image_id",
+        "fmt",
         "CAST(floor(x / 1000.0) AS BIGINT) AS cx",
         "CAST(floor(y / 1000.0) AS BIGINT) AS cy",
         f"{_HZ} AS hz",
         "w",
     )
+    dim = feats.groupBy("fmt").agg(F.count(F.lit(1)).alias("fmt_n"))
+    joined = salted_join(feats, dim, key="fmt", salt_src="image_id", n_salt=8)
     return salted_two_stage_agg(
-        feats,
+        joined,
         key_cols=["cx", "cy"],
-        aggs={"n": "count", "sum_hz": "sum:hz", "min_w": "min:w", "max_w": "max:w"},
+        aggs={
+            "n": "count", "sum_hz": "sum:hz", "min_w": "min:w",
+            "max_w": "max:w", "sum_fmt_n": "sum:fmt_n",
+        },
         salt_src="image_id",
         n_salt=8,
     )
 
 
-ORACLE_CELL_STATS = oracle_prelude() + f"""
+ORACLE_SKEW_JOIN = oracle_prelude() + f"""
 SELECT CAST(floor(x / 1000.0) AS BIGINT) AS cx,
        CAST(floor(y / 1000.0) AS BIGINT) AS cy,
        count(*) AS n, CAST(sum({_HZ}) AS BIGINT) AS sum_hz,
-       min(w) AS min_w, max(w) AS max_w
-FROM features GROUP BY 1, 2
-"""
-
-
-# ---------------------------------------------------------------------------
-# P9 Z override (reference Geojson.set_z, geojson.py:65-87: per-feature Z
-# from a property when present, else a CLI constant): the property is NULL
-# for every third feature, and the override coalesces property -> constant.
-
-def q_z_override(spark, sf_dir):
-    feats = _feats(spark, sf_dir).selectExpr(
-        "image_id",
-        # prop_z: absent (NULL) for h2 % 3 = 0, else a derived height
-        "CASE WHEN h2 % 3 = 0 THEN CAST(NULL AS DOUBLE)"
-        " ELSE CAST(10 + h2 % 40 AS DOUBLE) END AS prop_z",
-    )
-    return feats.select(
-        "image_id",
-        F.coalesce(F.col("prop_z"), F.lit(50.0)).alias("z_out"),
-    )
-
-
-ORACLE_Z_OVERRIDE = oracle_prelude() + """
-SELECT image_id,
-       coalesce(CASE WHEN h2 % 3 = 0 THEN NULL
-                     ELSE CAST(10 + h2 % 40 AS DOUBLE) END, 50.0) AS z_out
-FROM features
-"""
-
-
-# ---------------------------------------------------------------------------
-# top-k per group (engine addition; reference has no ranking — SURVEY 2.5)
-
-def q_topk_per_fmt(spark, sf_dir):
-    feats = _feats(spark, sf_dir)
-    w = Window.partitionBy("fmt").orderBy(F.col("phash").desc(), F.col("image_id"))
-    return (
-        feats.withColumn("rk", F.row_number().over(w))
-        .where("rk <= 5")
-        .select("fmt", "rk", "image_id", "phash")
-    )
-
-
-ORACLE_TOPK = oracle_prelude() + """
-SELECT fmt, CAST(row_number() OVER (PARTITION BY fmt ORDER BY phash DESC, image_id) AS INT) AS rk,
-       image_id, phash
-FROM features
-QUALIFY rk <= 5
+       min(w) AS min_w, max(w) AS max_w,
+       CAST(sum(fmt_n) AS BIGINT) AS sum_fmt_n
+FROM features f
+JOIN (SELECT fmt, count(*) AS fmt_n FROM features GROUP BY fmt) d
+  ON d.fmt = f.fmt
+GROUP BY 1, 2
 """
 
 
@@ -630,13 +539,18 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
 """
 
 
-# language-ID by stopword-marker counting (pure string arithmetic both sides)
+# Text analysis — ONE row-wise pass over documents covering the whole
+# family: language-ID by stopword-marker counting, quality scoring
+# (length / space ratio), BPE-ish regex token stats (the GPT-2
+# pre-tokenizer's category split, simplified to engine-portable classes),
+# and md5 document fingerprinting. All pure JVM string/regexp expressions,
+# zero UDFs, one scan — which is also why one oracle query pins all four.
 _LANG_MARKERS = [
     ("en", " the "), ("fr", " le "), ("es", " el "), ("de", " der "), ("zh", " de "),
 ]
 
 
-def q_lang_id(spark, sf_dir):
+def q_text_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     padded = docs.withColumn("t", F.concat(F.lit(" "), F.lower("text"), F.lit(" ")))
     for lang, marker in _LANG_MARKERS:
@@ -651,22 +565,26 @@ def q_lang_id(spark, sf_dir):
         "doc_id",
         "lang AS actual_lang",
         f"array_max(array({score_cols})).lang AS predicted_lang",
-    )
+        "CAST(size(split(trim(text), ' +')) AS BIGINT) AS n_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars_computed",
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS space_ratio",
+        r"CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT) AS n_word",
+        r"CAST(size(regexp_extract_all(lower(text), '[0-9]+', 0)) AS BIGINT) AS n_num",
+        r"CAST(size(regexp_extract_all(lower(text), '[^a-z0-9\\s]', 0)) AS BIGINT) AS n_mark",
+        "md5(lower(trim(text))) AS fingerprint",
+    ).withColumn("n_bpe_tokens", F.expr("n_word + n_num + n_mark"))
 
 
-def _lang_oracle() -> str:
+def _text_stats_oracle() -> str:
     cols = []
     for lang, marker in _LANG_MARKERS:
         cols.append(
             f"(length(t) - length(replace(t, '{marker}', ''))) / {len(marker)} AS n_{lang}"
         )
     # DuckDB lacks Spark's array_max-of-structs ordering; emulate with
-    # greatest + CASE chain in the SAME priority order as Spark's struct
-    # comparison (max by n, ties -> later lang in list order wins ONLY via
-    # struct comparison on the lang string; avoid ties by strict CASE).
-    # Spark's array_max on structs breaks score ties by the LANG string
-    # (second struct field), so the CASE must test langs in descending
-    # lang-string order for identical tie behavior.
+    # greatest + a CASE chain in descending lang-string order — Spark's
+    # array_max on structs breaks score ties by the lang string, so the
+    # CASE must test langs high-to-low for identical tie behavior.
     best = "greatest(n_en, n_fr, n_es, n_de, n_zh)"
     case = (
         "CASE "
@@ -676,74 +594,26 @@ def _lang_oracle() -> str:
         )
         + " END"
     )
-    return f"""
+    return rf"""
 WITH padded AS (
-  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS t FROM documents
 ), scored AS (
-  SELECT doc_id, lang, {', '.join(cols)} FROM padded
+  SELECT doc_id, lang, text, {', '.join(cols)} FROM padded
 )
-SELECT doc_id, lang AS actual_lang, {case} AS predicted_lang FROM scored
-"""
-
-
-def q_quality(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "doc_id",
-        "CAST(size(split(trim(text), ' +')) AS BIGINT) AS n_tokens",
-        "CAST(length(text) AS BIGINT) AS n_chars_computed",
-        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS space_ratio",
-    )
-
-
-ORACLE_QUALITY = """
-SELECT doc_id,
+SELECT doc_id, lang AS actual_lang, {case} AS predicted_lang,
        len(string_split_regex(trim(text), ' +')) AS n_tokens,
        length(text) AS n_chars_computed,
-       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS space_ratio
-FROM documents
-"""
-
-
-def q_token_stats(spark, sf_dir):
-    """BPE-ish regex pre-tokenization (the GPT-2 pre-tokenizer's category
-    split, simplified to engine-portable classes): runs of letters, runs of
-    digits, single non-alphanumeric marks. Pure JVM regexp — no UDF."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "doc_id",
-        r"CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT) AS n_word",
-        r"CAST(size(regexp_extract_all(lower(text), '[0-9]+', 0)) AS BIGINT) AS n_num",
-        r"CAST(size(regexp_extract_all(lower(text), '[^a-z0-9\\s]', 0)) AS BIGINT) AS n_mark",
-    ).selectExpr(
-        "doc_id", "n_word", "n_num", "n_mark",
-        "n_word + n_num + n_mark AS n_bpe_tokens",
-    )
-
-
-ORACLE_TOKEN_STATS = r"""
-SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS space_ratio,
        len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word,
        len(regexp_extract_all(lower(text), '[0-9]+')) AS n_num,
        len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_mark,
        len(regexp_extract_all(lower(text), '[a-z]+'))
          + len(regexp_extract_all(lower(text), '[0-9]+'))
-         + len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_bpe_tokens
-FROM documents
+         + len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_bpe_tokens,
+       md5(lower(trim(text))) AS fingerprint
+FROM scored
 """
 
-
-def q_fingerprint(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "doc_id",
-        "md5(lower(trim(text))) AS fingerprint",
-    )
-
-
-ORACLE_FINGERPRINT = """
-SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -838,6 +708,9 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+
+
+
 # ---------------------------------------------------------------------------
 # P2 CRS change (affine path; pyproj seam documented in operators/transforms)
 
@@ -893,13 +766,22 @@ FROM tiles t JOIN cents c ON t.tile_id = c.tile_id
 # union of per-tile attribute keys.
 
 def q_key_union(spark, sf_dir):
+    """A9 batch-table key union (tileset_creation.py:173-183) computed over
+    a U1 DataFrame union (feature.py:173-183): two filtered branches are
+    unioned back together and the per-cube distinct key sets + row counts
+    are aggregated — a wrong union (dropped/duplicated rows) shifts every
+    count and key list."""
     feats = _feats(spark, sf_dir)
+    png = feats.where("fmt = 'png'")
+    jpg = feats.where("fmt = 'jpg'")
+    both = png.unionByName(jpg)
     return (
-        feats.withColumn("cube_x", F.expr("rint(x / 1000.0) * 1000.0"))
+        both.withColumn("cube_x", F.expr("rint(x / 1000.0) * 1000.0"))
         .groupBy("cube_x")
         .agg(
             F.expr("concat_ws(',', array_sort(collect_set(fmt)))").alias("fmts"),
             F.expr("concat_ws(',', array_sort(collect_set(CAST(w AS STRING))))").alias("widths"),
+            F.count(F.lit(1)).alias("n"),
         )
     )
 
@@ -907,26 +789,13 @@ def q_key_union(spark, sf_dir):
 ORACLE_KEY_UNION = oracle_prelude() + """
 SELECT round_even(x / 1000.0, 0) * 1000.0 AS cube_x,
        array_to_string(list_sort(list(DISTINCT fmt)), ',') AS fmts,
-       array_to_string(list_sort(list(DISTINCT CAST(w AS STRING))), ',') AS widths
-FROM features GROUP BY 1
-"""
-
-
-# U1 union (feature.py:173-183)
-
-def q_union(spark, sf_dir):
-    feats = _feats(spark, sf_dir)
-    png = feats.where("fmt = 'png'")
-    jpg = feats.where("fmt = 'jpg'")
-    return png.unionByName(jpg).groupBy("fmt").agg(F.count(F.lit(1)).alias("n"))
-
-
-ORACLE_UNION = oracle_prelude() + """
-SELECT fmt, count(*) AS n FROM (
+       array_to_string(list_sort(list(DISTINCT CAST(w AS STRING))), ',') AS widths,
+       count(*) AS n
+FROM (
   SELECT * FROM features WHERE fmt = 'png'
   UNION ALL
   SELECT * FROM features WHERE fmt = 'jpg'
-) u GROUP BY fmt
+) u GROUP BY 1
 """
 
 
@@ -980,16 +849,30 @@ SELECT node, ancestor, CAST(depth AS INT) AS depth FROM anc WHERE node LIKE 'o:%
 # "texture key", derive/fetch once per distinct key, broadcast-join back.
 
 def q_texture_lookup(spark, sf_dir):
+    """J4 texture-URI lookup join (citym_cityobject.py:116-129) + G13 color
+    lerp (Color/color_config.py:45-89): dedup the texture key, derive once
+    per distinct key, broadcast-join back, then lerp each texture's byte
+    size between the global min/max into RGB ints — the reference's
+    attribute-driven coloring applied to the joined dimension."""
     feats = _feats(spark, sf_dir)
     keys = feats.select("w", "h", "fmt").distinct()
     fetched = keys.withColumn(
         "tex_uri",
         F.expr("'tex/' || fmt || '/' || CAST(w AS STRING) || 'x' || CAST(h AS STRING) || '.bin'"),
     ).withColumn("tex_bytes_len", F.expr("CAST(w AS BIGINT) * h * 3"))
-    return (
+    agg = (
         feats.join(F.broadcast(fetched), ["w", "h", "fmt"])
         .groupBy("tex_uri")
         .agg(F.count(F.lit(1)).alias("n_refs"), F.min("tex_bytes_len").alias("tex_bytes_len"))
+    )
+    mm = agg.agg(
+        F.min("tex_bytes_len").alias("amin"), F.max("tex_bytes_len").alias("amax")
+    )
+    return agg.crossJoin(F.broadcast(mm)).selectExpr(
+        "tex_uri", "n_refs", "tex_bytes_len",
+        "CAST(round(CAST(tex_bytes_len - amin AS DOUBLE) / CAST(amax - amin AS DOUBLE) * 255.0) AS INT) AS r",
+        "CAST(round((1.0 - CAST(tex_bytes_len - amin AS DOUBLE) / CAST(amax - amin AS DOUBLE)) * 255.0) AS INT) AS b",
+        "128 AS g",
     )
 
 
@@ -1001,40 +884,17 @@ ORACLE_TEXTURE = oracle_prelude() + """
          'tex/' || fmt || '/' || CAST(w AS STRING) || 'x' || CAST(h AS STRING) || '.bin' AS tex_uri,
          CAST(w AS BIGINT) * h * 3 AS tex_bytes_len
   FROM keys
+), agg AS (
+  SELECT tex_uri, count(*) AS n_refs, min(tex_bytes_len) AS tex_bytes_len
+  FROM features JOIN fetched USING (w, h, fmt)
+  GROUP BY tex_uri
 )
-SELECT tex_uri, count(*) AS n_refs, min(tex_bytes_len) AS tex_bytes_len
-FROM features JOIN fetched USING (w, h, fmt)
-GROUP BY tex_uri
-"""
-
-
-# G13 color lerp (Color/color_config.py:45-89 + GeojsonTiler.py:128-159):
-# attribute min/max -> per-row linear interpolation into RGB ints.
-
-def q_color_lerp(spark, sf_dir):
-    feats = _feats(spark, sf_dir)
-    mm = feats.agg(
-        F.min("prec_alti").alias("amin"), F.max("prec_alti").alias("amax")
-    )
-    return (
-        feats.crossJoin(F.broadcast(mm))
-        .where("l_orderkey % 200 = 0")
-        .selectExpr(
-            "image_id",
-            "CAST(round((prec_alti - amin) / (amax - amin) * 255.0) AS INT) AS r",
-            "CAST(round((1.0 - (prec_alti - amin) / (amax - amin)) * 255.0) AS INT) AS b",
-            "128 AS g",
-        )
-    )
-
-
-ORACLE_COLOR = oracle_prelude() + """
-SELECT image_id,
-       CAST(round((prec_alti - amin) / (amax - amin) * 255.0) AS INT) AS r,
-       CAST(round((1.0 - (prec_alti - amin) / (amax - amin)) * 255.0) AS INT) AS b,
+SELECT tex_uri, n_refs, tex_bytes_len,
+       CAST(round(CAST(tex_bytes_len - amin AS DOUBLE) / CAST(amax - amin AS DOUBLE) * 255.0) AS INT) AS r,
+       CAST(round((1.0 - CAST(tex_bytes_len - amin AS DOUBLE) / CAST(amax - amin AS DOUBLE)) * 255.0) AS INT) AS b,
        128 AS g
-FROM features CROSS JOIN (SELECT min(prec_alti) AS amin, max(prec_alti) AS amax FROM features) m
-WHERE l_orderkey % 200 = 0
+FROM agg CROSS JOIN (
+  SELECT min(tex_bytes_len) AS amin, max(tex_bytes_len) AS amax FROM agg) m
 """
 
 
@@ -1042,32 +902,25 @@ WHERE l_orderkey % 200 = 0
 # registry
 
 QUERIES: dict[str, tuple] = {
-    # (spark_fn, oracle_sql | None)
+    # (spark_fn, oracle_sql | None). Consolidated in round 4 so the driver's
+    # 50-entry correctness window covers EVERY entry: near-duplicate shapes
+    # were merged into composite queries that exercise all constituent
+    # operators under one oracle (see each docstring). 50 entries total.
     "filter_keep_ids": (q_filter_keep_ids, ORACLE_KEEP_IDS),
-    "filter_prec": (q_filter_prec, ORACLE_PREC),
-    "transform_scale": (q_transform, ORACLE_TRANSFORM),
-    "bbox_global": (q_bbox, ORACLE_BBOX),
-    "cube_groupby": (q_cube_groupby, ORACLE_CUBE),
-    "attr_minmax": (q_attr_minmax, ORACLE_ATTR),
+    "transform_scale": (q_transform, ORACLE_TRANSFORM),   # P1 P3 P4 P5 P9
+    "bbox_global": (q_bbox, ORACLE_BBOX),                 # A2 A6 F3
     "pip_first_match": (q_pip_first_match, ORACLE_PIP),
     "anti_unmatched": (q_anti_unmatched, ORACLE_ANTI),
-    "groups_cube": (q_groups_cube, ORACLE_GROUPS_CUBE),
+    "groups_cube": (q_groups_cube, ORACLE_GROUPS_CUBE),   # A1 A4 J1
     "star_join_agg": (q_star_join, ORACLE_STAR),
-    "dedup_dense_index": (q_dedup_dense_index, ORACLE_DEDUP_DENSE),
-    "material_remap": (q_material_remap, ORACLE_MATERIAL_REMAP),
+    "material_remap": (q_material_remap, ORACLE_MATERIAL_REMAP),  # U4 U5
     "empty_geom_filter": (q_empty_geom_filter, ORACLE_EMPTY_GEOM),
-    "z_override": (q_z_override, ORACLE_Z_OVERRIDE),
-    "skew_join_salted": (q_skew_join_salted, ORACLE_SKEW_JOIN),
-    "cell_stats_salted": (q_cell_stats_salted, ORACLE_CELL_STATS),
-    "topk_per_fmt": (q_topk_per_fmt, ORACLE_TOPK),
+    "skew_join_salted": (q_skew_join_salted, ORACLE_SKEW_JOIN),  # join+agg
     "kd_tiles": (q_kd_tiles, None),  # iterative; parity via tests/test_kd_tree.py
     "knn_block": (q_knn, ORACLE_KNN),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_JACCARD),
-    "lang_id": (q_lang_id, _lang_oracle()),
-    "quality_score": (q_quality, ORACLE_QUALITY),
-    "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
-    "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
+    "text_stats": (q_text_stats, _text_stats_oracle()),   # lang/quality/tok/fp
     "ann_cosine_topk": (q_ann_cosine, ORACLE_ANN),
     "events_window": (q_events_window, ORACLE_EVENTS),
 }
@@ -1167,14 +1020,33 @@ SELECT node, min(lab) AS component FROM reach GROUP BY node
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN: coarse k-means quantizer (bounded hash-ordered sample,
+    """IVF ANN: coarse k-means quantizer (bounded, vec_id-sorted sample,
     deterministic Lloyd) + nprobe cell probing + exact cosine rerank.
-    The quantizer train step is SQL-inexpressible -> rows-only oracle;
-    recall vs the brute-force baseline is pinned by tests/test_ann_ivf.py."""
+    Oracle: the SAME centroids (trained by the Spark-free twin,
+    ivf_centroids_from_parquet) embedded as SQL literals — assignment,
+    probe, and rerank are then plain SQL. Recall vs brute force is
+    additionally pinned by tests/test_ann_ivf.py."""
     from .operators.ann import ann_ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_ivf_topk(emb, nprobe=10)
+
+
+def _ivf_oracle() -> "str | None":
+    """Build the IVF oracle with centroids trained from the correctness-gate
+    table (driver runs oracles at sf0.01; override via
+    SPARK_GRAFT_ORACLE_SF_DIR). Falls back to rows-only (None) when the
+    table is absent or exceeds the deterministic-sample cap."""
+    import os
+
+    try:
+        from .operators.ann import ann_ivf_oracle_sql, ivf_centroids_from_parquet
+
+        sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        cent = ivf_centroids_from_parquet(os.path.join(sf, "embeddings.parquet"))
+        return ann_ivf_oracle_sql(cent, nprobe=10) if cent is not None else None
+    except Exception:
+        return None
 
 
 def q_s2_cells(spark, sf_dir):
@@ -1217,20 +1089,18 @@ def _register_extra():
             "ann_lsh_topk": (q_ann_lsh, ann_lsh_oracle_sql()),
             "affine_crs": (q_affine_crs, ORACLE_AFFINE),
             "recenter_per_tile": (q_recenter, ORACLE_RECENTER),
-            "batch_key_union": (q_key_union, ORACLE_KEY_UNION),
-            "union_all": (q_union, ORACLE_UNION),
+            "batch_key_union": (q_key_union, ORACLE_KEY_UNION),  # A9 + U1
             "ancestor_closure": (q_ancestors, ORACLE_ANCESTORS),
-            "texture_lookup_join": (q_texture_lookup, ORACLE_TEXTURE),
-            "color_lerp": (q_color_lerp, ORACLE_COLOR),
+            "texture_lookup_join": (q_texture_lookup, ORACLE_TEXTURE),  # J4+G13
             # Hilbert-curve cell ids are SQL-inexpressible: rows-only check
             # here; value parity pinned by tests/test_s2.py (independent
             # scalar re-implementation + canonical face tokens).
             "s2_cells": (q_s2_cells, None),
             "dup_components": (q_dup_components, _dup_components_oracle()),
             "phash_near_dup": (q_phash_near_dup, ORACLE_PHASH_DUP),
-            # k-means quantizer is SQL-inexpressible: rows-only check;
-            # recall@k >= 0.9 vs brute force pinned by tests/test_ann_ivf.py
-            "ann_ivf_topk": (q_ann_ivf, None),
+            # quantizer trained once, centroids embedded as literals in
+            # BOTH engines -> full hash-checked oracle (round-4 upgrade)
+            "ann_ivf_topk": (q_ann_ivf, _ivf_oracle()),
         }
     )
 

@@ -165,97 +165,67 @@ lvl{d + 1} AS (
 # a seen-set, so the closing vertex AND interior repeats both drop)
 
 def q_ring_dedup(spark, sf_dir):
+    """F5 ring-vertex dedup (keep-first seen-set, geojson.py:338-393)
+    COMPOSED with P7 clockwise normalization (shoelace sign + reverse,
+    geojson_polygon.py:56-67) — the reference applies exactly this pair in
+    sequence when loading polygons. The deduped open ring has a variable
+    vertex count, so the shoelace closes the ring via first_value and the
+    CCW reversal maps seq -> (n-1) - seq."""
     ring = _ring_sql(
         spark, sf_dir, RING_CTES + [F5_RING_CTE],
         "SELECT fid, s, vx, vy FROM f5_ring",
     )
     w_first = Window.partitionBy("fid", "vx", "vy").orderBy("s")
     w_seq = Window.partitionBy("fid").orderBy("s")
-    return (
+    dedup = (
         ring.withColumn("_r", F.row_number().over(w_first))
         .where("_r = 1")
-        .withColumn("new_seq", F.row_number().over(w_seq) - F.lit(1))
-        .select("fid", F.col("new_seq").cast("bigint").alias("new_seq"), "vx", "vy")
+        .withColumn("seq", F.row_number().over(w_seq) - F.lit(1))
+        .select("fid", "seq", "vx", "vy")
+    )
+    w = Window.partitionBy("fid").orderBy("seq")
+    closed = dedup.withColumn(
+        "nx", F.coalesce(F.lead("vx").over(w), F.first("vx").over(w))
+    ).withColumn("ny", F.coalesce(F.lead("vy").over(w), F.first("vy").over(w)))
+    shoe = closed.groupBy("fid").agg(
+        F.sum(F.col("vx") * F.col("ny") - F.col("nx") * F.col("vy")).alias("area2"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    return dedup.join(shoe, "fid").select(
+        "fid",
+        F.when(F.col("area2") > 0, F.col("nv") - 1 - F.col("seq"))
+        .otherwise(F.col("seq"))
+        .cast("bigint")
+        .alias("new_seq"),
+        "vx",
+        "vy",
     )
 
 
 def ring_dedup_oracle_sql() -> str:
     return oracle_prelude(extra_ctes=RING_CTES + [F5_RING_CTE]) + """
-SELECT fid, CAST(row_number() OVER (PARTITION BY fid ORDER BY s) - 1 AS BIGINT) AS new_seq,
-       vx, vy
-FROM (
-  SELECT fid, s, vx, vy,
-         row_number() OVER (PARTITION BY fid, vx, vy ORDER BY s) AS r
-  FROM f5_ring) t
-WHERE r = 1
-"""
-
-
-# ---------------------------------------------------------------------------
-# P7 clockwise normalization: shoelace sign, reverse if CCW, drop closing
-# vertex (reference geojson_polygon.py:56-67)
-
-def q_clockwise_rings(spark, sf_dir):
-    ring = _ring_sql(
-        spark, sf_dir, RING_CTES,
-        "SELECT fid, seq, vx, vy FROM stored_ring",
-    )
-    w = Window.partitionBy("fid").orderBy("seq")
-    shoe = (
-        ring.withColumn("nx", F.lead("vx").over(w))
-        .withColumn("ny", F.lead("vy").over(w))
-        .where("seq < 6")
-        .groupBy("fid")
-        .agg(F.sum(F.col("vx") * F.col("ny") - F.col("nx") * F.col("vy")).alias("area2"))
-    )
-    return (
-        ring.where("seq < 6")
-        .join(shoe, "fid")
-        .select(
-            "fid",
-            F.when(F.col("area2") > 0, F.lit(5) - F.col("seq"))
-            .otherwise(F.col("seq"))
-            .cast("bigint")
-            .alias("new_seq"),
-            "vx",
-            "vy",
-        )
-    )
-
-
-def clockwise_oracle_sql() -> str:
-    return oracle_prelude(extra_ctes=RING_CTES) + """
-, shoe AS (
-  SELECT fid, CAST(sum(vx * ny - nx * vy) AS BIGINT) AS area2
+, dedup AS (
+  SELECT fid, row_number() OVER (PARTITION BY fid ORDER BY s) - 1 AS seq,
+         vx, vy
   FROM (
-    SELECT fid, seq, vx, vy,
-           lead(vx) OVER (PARTITION BY fid ORDER BY seq) AS nx,
-           lead(vy) OVER (PARTITION BY fid ORDER BY seq) AS ny
-    FROM stored_ring) t
-  WHERE seq < 6
-  GROUP BY fid
+    SELECT fid, s, vx, vy,
+           row_number() OVER (PARTITION BY fid, vx, vy ORDER BY s) AS r
+    FROM f5_ring) t
+  WHERE r = 1
+), closed AS (
+  SELECT fid, seq, vx, vy,
+         coalesce(lead(vx) OVER w, first_value(vx) OVER w) AS nx,
+         coalesce(lead(vy) OVER w, first_value(vy) OVER w) AS ny
+  FROM dedup WINDOW w AS (PARTITION BY fid ORDER BY seq)
+), shoe AS (
+  SELECT fid, CAST(sum(vx * ny - nx * vy) AS BIGINT) AS area2,
+         count(*) AS nv
+  FROM closed GROUP BY fid
 )
-SELECT r.fid,
-       CAST(CASE WHEN s.area2 > 0 THEN 5 - r.seq ELSE r.seq END AS BIGINT) AS new_seq,
-       r.vx, r.vy
-FROM stored_ring r JOIN shoe s ON r.fid = s.fid
-WHERE r.seq < 6
-"""
-
-
-# ---------------------------------------------------------------------------
-# P5 z-up -> y-up swap (reference tileset_creation.py:157-160, the glTF
-# column-major [1,0,0; 0,0,1; 0,-1,0] transform: (x, y, z) -> (x, z, -y))
-
-def q_zup_yup(spark, sf_dir):
-    return _feats(spark, sf_dir).selectExpr(
-        "image_id", "x AS gx", "z AS gy", "-y AS gz"
-    )
-
-
-def zup_oracle_sql() -> str:
-    return oracle_prelude() + """
-SELECT image_id, x AS gx, z AS gy, -y AS gz FROM features
+SELECT d.fid,
+       CAST(CASE WHEN s.area2 > 0 THEN s.nv - 1 - d.seq ELSE d.seq END AS BIGINT) AS new_seq,
+       d.vx, d.vy
+FROM dedup d JOIN shoe s ON d.fid = s.fid
 """
 
 
@@ -655,9 +625,7 @@ def register(queries: dict) -> None:
         {
             "pip_rings_first_match": (q_pip_rings, pip_rings_oracle_sql()),
             "alpha_shape": (q_alpha_shape, alpha_shape_oracle_sql()),
-            "ring_dedup": (q_ring_dedup, ring_dedup_oracle_sql()),
-            "clockwise_rings": (q_clockwise_rings, clockwise_oracle_sql()),
-            "zup_yup": (q_zup_yup, zup_oracle_sql()),
+            "ring_dedup": (q_ring_dedup, ring_dedup_oracle_sql()),  # F5 + P7
             "roof_adjust": (q_roof_adjust, roof_oracle_sql()),
             "degenerate_lines": (q_degenerate_lines, degenerate_oracle_sql()),
             "earclip_tri": (q_earclip, earclip_oracle_sql()),

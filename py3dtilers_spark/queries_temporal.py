@@ -134,19 +134,6 @@ def tg_reconcile_oracle() -> str:
 
 # --------------------------------------------------------------------- U6
 
-def q_tg_edge_dedup(spark, sf_dir):
-    nodes, edges = _tg_frames(spark, sf_dir)
-    return dedup_edges(resolve_edges(edges, nodes))
-
-
-def tg_edge_dedup_oracle() -> str:
-    return _duck_sql(
-        "SELECT src_gid, dst_gid, file_id, edge_id, tags FROM tg_dedup"
-    )
-
-
-# --------------------------------------------------------------------- A10
-
 def q_tg_edge_counts(spark, sf_dir):
     nodes, edges = _tg_frames(spark, sf_dir)
     return edge_type_counts(dedup_edges(resolve_edges(edges, nodes)))
@@ -241,26 +228,6 @@ singles AS (
 
 # --------------------------------------------------------------------- H7
 
-def q_tg_transactions(spark, sf_dir):
-    nodes, edges = _tg_frames(spark, sf_dir)
-    return transactions(dedup_edges(resolve_edges(edges, nodes)))
-
-
-def tg_transactions_oracle() -> str:
-    return _duck_sql(
-        "SELECT src_gid AS source, dst_gid AS destination,"
-        " 'modification' AS tx_type,"
-        " CAST(split_part(src_gid, '::', 1) AS BIGINT) AS start_year,"
-        " CAST(split_part(dst_gid, '::', 1) AS BIGINT) AS end_year"
-        " FROM tg_dedup"
-        " WHERE tags LIKE '%modified%'"
-        "   AND src_gid IN (SELECT src_gid FROM tg_dedup GROUP BY src_gid HAVING count(*) = 1)"
-        "   AND dst_gid IN (SELECT dst_gid FROM tg_dedup GROUP BY dst_gid HAVING count(*) = 1)"
-    )
-
-
-# --------------------------------------------------------------- H7 aggregate
-
 def q_tg_tx_agg(spark, sf_dir):
     """H7 union/division + re-qualification + TransactionAggregate nesting
     (CityTemporalTiler.py:143-279), flattened to hashable scalars: the
@@ -328,12 +295,10 @@ def register(queries: dict) -> None:
     queries.update(
         {
             "tg_reconcile": (q_tg_reconcile, tg_reconcile_oracle()),
-            "tg_edge_dedup": (q_tg_edge_dedup, tg_edge_dedup_oracle()),
             "tg_edge_counts": (q_tg_edge_counts, tg_edge_counts_oracle()),
             "tg_timestamps": (q_tg_timestamps, tg_timestamps_oracle()),
             "tg_building_join": (q_tg_building_join, tg_building_join_oracle()),
             "tg_lineage": (q_tg_lineage, tg_lineage_oracle()),
-            "tg_transactions": (q_tg_transactions, tg_transactions_oracle()),
             "tg_tx_agg": (q_tg_tx_agg, tg_tx_agg_oracle()),
         }
     )

@@ -75,6 +75,27 @@ def test_id_roundtrip_face_ij():
     assert np.all(s2.level_np(cid) == 30)
 
 
+def test_decode_ij_matches_direct_projection():
+    """Regression (round-4 ADVICE): id_to_face_ij must return the EXACT i,j
+    the projection produced — not merely values that re-encode to the same
+    id. The old full-8-bit top-chunk mask leaked face bits into the Hilbert
+    lookup on faces 1-5 (decoded i up to ~2^32), invisible to the roundtrip
+    test because encode's own top-chunk masking undid the corruption."""
+    rng = np.random.default_rng(123)
+    lats = rng.uniform(-89, 89, 2000)
+    lngs = rng.uniform(-180, 180, 2000)
+    x, y, z = s2.latlng_to_xyz(lats, lngs)
+    face, u, v = s2.xyz_to_face_uv(x, y, z)
+    i_direct = s2._st_to_ij(s2._uv_to_st(u))
+    j_direct = s2._st_to_ij(s2._uv_to_st(v))
+    cid = s2.face_ij_to_id(face, i_direct, j_direct)
+    f2, i2, j2 = s2.id_to_face_ij(cid)
+    assert sorted(set(face.tolist())) == [0, 1, 2, 3, 4, 5]  # all faces hit
+    assert np.all(f2 == face)
+    assert np.all(i2 < (1 << 30)) and np.all(j2 < (1 << 30))
+    assert np.all(i2 == i_direct) and np.all(j2 == j_direct)
+
+
 def test_nearby_points_share_coarse_parent():
     base = s2.cell_id_np(np.array([45.0]), np.array([7.0]), level=10)[0]
     jit = s2.cell_id_np(np.array([45.0001]), np.array([7.0001]), level=10)[0]

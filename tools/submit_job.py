@@ -43,14 +43,18 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
+    # explicit input layouts — anything else is a user error, named clearly
     features = None
     sf_dir = args.input
-    if os.path.exists(os.path.join(args.input, "_SUCCESS")) or not os.path.exists(
-        os.path.join(args.input, "lineitem.parquet")
-    ):
-        if os.path.exists(os.path.join(args.input, "_SUCCESS")):
-            features = spark.read.parquet(args.input)
-            sf_dir = ""
+    if os.path.exists(os.path.join(args.input, "_SUCCESS")):
+        features = spark.read.parquet(args.input)  # a features parquet dir
+        sf_dir = ""
+    elif not os.path.exists(os.path.join(args.input, "lineitem.parquet")):
+        ap.error(
+            f"--input {args.input!r} is neither a features parquet directory"
+            " (no _SUCCESS marker) nor an sf dir (no lineitem.parquet);"
+            " pass one of those two layouts"
+        )
     stats = run_tiler(
         spark,
         sf_dir=sf_dir,
