@@ -30,10 +30,26 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+    check_every: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component =
-    min node id reachable. Undirected (edges symmetrized here)."""
+    min node id reachable. Undirected (edges symmetrized here).
+
+    Job-count discipline (round-4 verdict #7): the per-round convergence
+    count is the expensive part at 10^9 edges, so it runs only every
+    `check_every` rounds — between checks a round costs exactly its two
+    hash joins + one checkpoint. The round budget is additionally bounded
+    at ceil(log2(n_nodes)) + 2: with pointer jumping the label-tree depth
+    at least halves per round, so a graph of n nodes converges within
+    ~log2(n) rounds and anything beyond the bound is wasted work. If the
+    bound-round check still sees changes (degenerate data), iteration
+    continues up to max_iter — correctness never depends on the bound.
+    `stats`, when given, receives {"rounds": r, "checks": c} for tests."""
     e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst")
     e = e.union(e.selectExpr("dst AS src", "src AS dst")).distinct()
     e = e.localCheckpoint(eager=True)
@@ -44,7 +60,11 @@ def connected_components(
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    n_nodes = labels.count()
+    bound = max(2, int(max(n_nodes - 1, 1)).bit_length() + 2)
+    rounds = checks = 0
+    converged = n_nodes == 0
+    while rounds < max_iter and not converged:
         # 1. neighbor min propagation
         prop = (
             e.join(labels.withColumnRenamed("node", "src"), "src")
@@ -68,21 +88,38 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where("n.lab <> o.lab")
-            .count()
-        )
+        old_labels = labels
         labels = new_labels
-        if changed == 0:
-            break
+        rounds += 1
+        if rounds % check_every == 0 or rounds >= bound or rounds >= max_iter:
+            checks += 1
+            changed = (
+                new_labels.alias("n")
+                .join(old_labels.alias("o"), "node")
+                .where("n.lab <> o.lab")
+                .count()
+            )
+            converged = changed == 0
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["checks"] = checks
+        stats["bound"] = bound
     return labels.select("node", F.col("lab").alias("component"))
 
 
-def component_stats(labels: DataFrame) -> DataFrame:
+def component_stats(labels: DataFrame, max_members: int | None = None) -> DataFrame:
     """(component, n_members) — the cluster-size profile a dedup pass
-    reports (survivor selection keeps component == node rows)."""
-    return labels.groupBy("component").agg(
+    reports. Survivor selection is the component == node rule (O(1) per
+    row, no member list ever materialized), so a pathological mega-cluster
+    (a near-dup "attractor" spanning a large corpus fraction) cannot blow
+    up a reducer here; `max_members` optionally clamps the REPORTED size
+    for pipelines that bucket cluster sizes and do not need exact counts
+    beyond the cap."""
+    out = labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+    if max_members is not None:
+        out = out.withColumn(
+            "n_members", F.least(F.col("n_members"), F.lit(max_members))
+        )
+    return out

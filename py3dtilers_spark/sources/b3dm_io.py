@@ -28,11 +28,25 @@ def _pad(b: bytes, align: int = 4, fill: bytes = b" ") -> bytes:
     return b + fill * (-len(b) % align)
 
 
+def flat_normals(positions: np.ndarray) -> np.ndarray:
+    """Per-vertex NORMAL array for a triangle soup: the G7 kernel's
+    per-triangle unit normals (operators/geometry.py:203) replicated to the
+    triangle's three vertices — flat shading, exactly the reference's
+    feature.geom.compute_normals() emitted into tile content
+    (Common/tileset_creation.py:218)."""
+    from ..operators.geometry import triangle_normals
+
+    pos = np.ascontiguousarray(positions, dtype=np.float64).reshape(-1, 3, 3)
+    unit, _ = triangle_normals(pos)
+    return np.repeat(unit, 3, axis=0).astype(np.float32)
+
+
 def encode_glb(
     positions: np.ndarray,
     batch_ids: np.ndarray,
     uvs: np.ndarray | None = None,
     colors: np.ndarray | None = None,
+    normals: np.ndarray | None = None,
     image: bytes | None = None,
     mime: str = "image/png",
 ) -> bytes:
@@ -89,6 +103,15 @@ def encode_glb(
             {
                 "bufferView": add_view(col.tobytes()), "byteOffset": 0,
                 "componentType": 5126, "count": len(col), "type": "VEC3",
+            }
+        )
+    if normals is not None:
+        nrm = np.ascontiguousarray(normals, dtype=np.float32)
+        attributes["NORMAL"] = len(accessors)
+        accessors.append(
+            {
+                "bufferView": add_view(nrm.tobytes()), "byteOffset": 0,
+                "componentType": 5126, "count": len(nrm), "type": "VEC3",
             }
         )
 
@@ -163,6 +186,7 @@ def decode_glb_full(blob: bytes) -> dict:
         "bid": _accessor(attrs["_BATCHID"], 1),
         "uv": None,
         "color": None,
+        "normal": None,
         "image": None,
         "mime": None,
         "material": prim.get("material"),
@@ -171,6 +195,8 @@ def decode_glb_full(blob: bytes) -> dict:
         out["uv"] = _accessor(attrs["TEXCOORD_0"], 2).reshape(-1, 2)
     if "COLOR_0" in attrs:
         out["color"] = _accessor(attrs["COLOR_0"], 3).reshape(-1, 3)
+    if "NORMAL" in attrs:
+        out["normal"] = _accessor(attrs["NORMAL"], 3).reshape(-1, 3)
     if prim.get("material") is not None and gltf.get("images"):
         tex = gltf["materials"][prim["material"]]["pbrMetallicRoughness"][
             "baseColorTexture"
@@ -195,16 +221,24 @@ def encode_b3dm(
     batch_table: dict,
     uvs: np.ndarray | None = None,
     colors: np.ndarray | None = None,
+    normals: "np.ndarray | str | None" = "auto",
     image: bytes | None = None,
     mime: str = "image/png",
 ) -> bytes:
     """b3dm container (28-byte header + FeatureTable/BatchTable JSON + GLB),
     the tile-content format py3dtiles writes for the reference. Pass uvs +
-    image for a textured tile (TEXCOORD_0 + embedded atlas material)."""
+    image for a textured tile (TEXCOORD_0 + embedded atlas material).
+    normals: "auto" (default) computes flat per-triangle normals from the
+    position soup — the reference always emits normals into tile content
+    (tileset_creation.py:218 compute_normals); pass None to omit or an
+    (N,3) array to override."""
     n_batch = int(batch_ids.max()) + 1 if len(batch_ids) else 0
     ft = _pad(json.dumps({"BATCH_LENGTH": n_batch}, separators=(",", ":")).encode())
     bt = _pad(json.dumps(batch_table, separators=(",", ":")).encode())
-    glb = encode_glb(positions, batch_ids, uvs=uvs, colors=colors, image=image, mime=mime)
+    if isinstance(normals, str) and normals == "auto":
+        normals = flat_normals(positions) if len(positions) % 3 == 0 and len(positions) else None
+    glb = encode_glb(positions, batch_ids, uvs=uvs, colors=colors,
+                     normals=normals, image=image, mime=mime)
     total = 28 + len(ft) + len(bt) + len(glb)
     header = struct.pack("<4sIIIIII", b"b3dm", 1, total, len(ft), 0, len(bt), 0)
     return header + ft + bt + glb

@@ -61,6 +61,20 @@ def test_textured_roundtrip_lossless():
     assert ft["BATCH_LENGTH"] == 4 and bt["ids"] == [f"f{i}" for i in range(4)]
     assert np.array_equal(full["uv"], uv)  # byte-exact TEXCOORD_0
     assert full["mime"] == "image/png" and full["material"] == 0
+    # NORMAL accessor (round-4: the reference always emits normals into
+    # tile content, tileset_creation.py:218): auto-computed flat normals
+    # survive the container byte-exact and equal the G7 kernel's output
+    from py3dtilers_spark.operators.geometry import triangle_normals
+    from py3dtilers_spark.sources.b3dm_io import flat_normals
+
+    assert full["normal"] is not None and full["normal"].shape == pos.shape
+    assert np.array_equal(full["normal"], flat_normals(pos))
+    unit, _ = triangle_normals(pos.astype(np.float64).reshape(-1, 3, 3))
+    assert np.array_equal(
+        full["normal"], np.repeat(unit, 3, axis=0).astype(np.float32)
+    )
+    # all quads lie in z=0 plane wound CCW -> +z normals
+    assert np.array_equal(full["normal"][:, 2], np.ones(len(pos), np.float32))
     assert full["image"] == img  # embedded atlas byte-exact
     assert np.array_equal(decode(full["image"]), atlas)  # pixel-exact
     # per-feature crops via the batch-table uv boxes match the source atlas

@@ -146,3 +146,101 @@ def test_ifc_swept_solid_meshes(spark, tmp_path):
     assert len(tris) == 20
     _, dbl = triangle_normals(tris.astype(np.float64))
     assert int(np.rint(dbl.sum())) == w["surface2"]
+
+
+IFC_BREP_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCCOLUMN('COL_B',#1,'C',$,$,$,#99,$);
+#21= IFCSLAB('SLAB_H',#1,'SH',$,$,$,#199,$,.FLOOR.);
+#100= IFCCARTESIANPOINT((0.,0.,0.));
+#101= IFCCARTESIANPOINT((2.,0.,0.));
+#102= IFCCARTESIANPOINT((2.,2.,0.));
+#103= IFCCARTESIANPOINT((0.,2.,0.));
+#104= IFCCARTESIANPOINT((0.,0.,2.));
+#105= IFCCARTESIANPOINT((2.,0.,2.));
+#106= IFCCARTESIANPOINT((2.,2.,2.));
+#107= IFCCARTESIANPOINT((0.,2.,2.));
+#110= IFCPOLYLOOP((#100,#103,#102,#101));
+#111= IFCPOLYLOOP((#104,#105,#106,#107));
+#112= IFCPOLYLOOP((#100,#101,#105,#104));
+#113= IFCPOLYLOOP((#101,#102,#106,#105));
+#114= IFCPOLYLOOP((#102,#103,#107,#106));
+#115= IFCPOLYLOOP((#103,#100,#104,#107));
+#120= IFCFACEOUTERBOUND(#110,.T.);
+#121= IFCFACEOUTERBOUND(#111,.T.);
+#122= IFCFACEOUTERBOUND(#112,.T.);
+#123= IFCFACEOUTERBOUND(#113,.T.);
+#124= IFCFACEOUTERBOUND(#114,.T.);
+#125= IFCFACEOUTERBOUND(#115,.T.);
+#130= IFCFACE((#120));
+#131= IFCFACE((#121));
+#132= IFCFACE((#122));
+#133= IFCFACE((#123));
+#134= IFCFACE((#124));
+#135= IFCFACE((#125));
+#140= IFCCLOSEDSHELL((#130,#131,#132,#133,#134,#135));
+#141= IFCFACETEDBREP(#140);
+#98= IFCSHAPEREPRESENTATION($,'Body','Brep',(#141));
+#99= IFCPRODUCTDEFINITIONSHAPE($,$,(#98));
+#200= IFCCARTESIANPOINT((0.,0.,5.));
+#201= IFCCARTESIANPOINT((10.,0.,5.));
+#202= IFCCARTESIANPOINT((10.,10.,5.));
+#203= IFCCARTESIANPOINT((0.,10.,5.));
+#210= IFCCARTESIANPOINT((4.,4.,5.));
+#211= IFCCARTESIANPOINT((6.,4.,5.));
+#212= IFCCARTESIANPOINT((6.,6.,5.));
+#213= IFCCARTESIANPOINT((4.,6.,5.));
+#220= IFCPOLYLOOP((#200,#201,#202,#203));
+#221= IFCPOLYLOOP((#210,#211,#212,#213));
+#230= IFCFACEOUTERBOUND(#220,.T.);
+#231= IFCFACEBOUND(#221,.T.);
+#240= IFCFACE((#230,#231));
+#241= IFCCLOSEDSHELL((#240));
+#242= IFCFACETEDBREP(#241);
+#198= IFCSHAPEREPRESENTATION($,'Body','Brep',(#242));
+#199= IFCPRODUCTDEFINITIONSHAPE($,$,(#198));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_faceted_brep_meshes(spark, tmp_path):
+    """S3 faceted-BRep evaluation (reference gets these meshes from
+    ifcopenshell, ifcObjectGeom.py:74-130): per-face Newell-plane ear clip.
+
+    COL_B: a 2x2x2 cube as IfcClosedShell of 6 quad faces ->
+      6 faces x 2 triangles = 12, surface area 24 -> surface2 = 48,
+      bbox (0..2, 0..2, 0..2).
+    SLAB_H: one 10x10 face at z=5 with a 2x2 hole (IfcFaceBound inner
+      loop) -> bridged 10-vertex polygon -> 8 triangles, area 96 ->
+      surface2 = 192, bbox (0..10, 0..10, 5..5)."""
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import triangle_normals
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes
+
+    p = tmp_path / "brep.ifc"
+    p.write_text(IFC_BREP_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes(ents).collect()}
+    assert set(rows) == {"COL_B", "SLAB_H"}
+
+    c = rows["COL_B"]
+    assert c["ifc_class"] == "IFCCOLUMN" and c["n_tri"] == 12
+    assert c["surface2"] == 48
+    assert (c["xmin"], c["xmax"], c["ymin"], c["ymax"], c["zmin"], c["zmax"]) == (
+        0.0, 2.0, 0.0, 2.0, 0.0, 2.0
+    )
+    tris = np.frombuffer(bytes(c["tris"]), dtype=np.float32).reshape(-1, 3, 3)
+    _, dbl = triangle_normals(tris.astype(np.float64))
+    assert int(np.rint(dbl.sum())) == 48
+
+    h = rows["SLAB_H"]
+    assert h["ifc_class"] == "IFCSLAB" and h["n_tri"] == 8
+    assert h["surface2"] == 192  # 100 - 4 (hole), doubled
+    assert (h["xmin"], h["xmax"], h["ymin"], h["ymax"], h["zmin"], h["zmax"]) == (
+        0.0, 10.0, 0.0, 10.0, 5.0, 5.0
+    )
