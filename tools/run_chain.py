@@ -139,31 +139,45 @@ def run_with_canary(
     """One pinned scaling run (fresh JVM) with a live canary; returns the
     run JSON + canary summary + clean verdict."""
     os.makedirs(os.path.dirname(canary_file), exist_ok=True)
+    # own process group per child so a killed chain cannot leave orphaned
+    # pool workers / JVMs competing with the NEXT chain's pinned CPUs (the
+    # reserved-CPU canary cannot see job-CPU-local contention, so orphans
+    # would silently bias estimates)
     can = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tools", "canary.py"),
          str(CANARY_PROCS), canary_file, str(CANARY_INTERVAL),
          str(CANARY_CPU_BASE)],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
     )
     out = os.path.join(out_root, f"c{cores}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
+    run_p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
+         str(cores), input_path, out, str(n_rows), str(kd_max)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
+    )
     try:
-        res = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
-             str(cores), input_path, out, str(n_rows), str(kd_max)],
-            capture_output=True, text=True,
-        )
+        out_s, err_s = run_p.communicate()
     finally:
         t1 = time.time()
+        for p in (can, run_p):
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+            except (ProcessLookupError, PermissionError, OSError):
+                pass
         try:
-            can.send_signal(signal.SIGTERM)
             can.wait(timeout=30)
         except Exception:
-            can.kill()
-    if res.returncode != 0:
-        raise RuntimeError(f"scaling run c{cores} failed:\n{res.stderr[-4000:]}")
-    run = json.loads(res.stdout.strip().splitlines()[-1])
+            try:
+                os.killpg(os.getpgid(can.pid), signal.SIGKILL)
+            except OSError:
+                pass
+    if run_p.returncode != 0:
+        raise RuntimeError(f"scaling run c{cores} failed:\n{err_s[-4000:]}")
+    run = json.loads(out_s.strip().splitlines()[-1])
     # skip the canary's first ~2 samples worth of JVM/session startup? No:
     # the run's wall clock INCLUDES startup, so the window gate covers it too
     c = canary_stats(canary_file, t0, t1)
@@ -193,6 +207,16 @@ def run_chain(
     def _one(cores: int, idx: int) -> dict:
         cf = os.path.join(CANARY_DIR, f"{chain_id}_r{idx}_c{cores}.jsonl")
         return run_with_canary(cores, input_path, out_root, n_rows, kd_max, cf)
+
+    # pre-flight: another live scaling_run/canary would compete for the
+    # pinned CPUs and silently bias this chain — refuse to start over it
+    probe = subprocess.run(
+        ["pgrep", "-f", "scaling_run.py|tools/canary.py"],
+        capture_output=True, text=True,
+    )
+    others = [p for p in probe.stdout.split() if p and int(p) != os.getpid()]
+    if others:
+        raise RuntimeError(f"live scaling processes exist: {others}")
 
     t_start = time.time()
     err = None
