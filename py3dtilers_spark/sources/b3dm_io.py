@@ -254,7 +254,8 @@ B3DM_SCAN_SCHEMA = (
     "path string, batch_id int, feature_id string,"
     " n_verts int, xmin double, xmax double, ymin double, ymax double,"
     " zmin double, zmax double,"
-    " has_uv boolean, has_color boolean, atlas binary, mime string"
+    " has_uv boolean, has_color boolean, has_normal boolean,"
+    " atlas binary, mime string"
 )
 
 
@@ -304,6 +305,7 @@ def read_b3dm_tiles(spark, tiles_dir: str):
                             "zmax": float(seg[:, 2].max()),
                             "has_uv": full["uv"] is not None,
                             "has_color": full["color"] is not None,
+                            "has_normal": full["normal"] is not None,
                             "atlas": full["image"],
                             "mime": full["mime"],
                         }
@@ -313,7 +315,7 @@ def read_b3dm_tiles(spark, tiles_dir: str):
                 columns=[
                     "path", "batch_id", "feature_id", "n_verts",
                     "xmin", "xmax", "ymin", "ymax", "zmin", "zmax",
-                    "has_uv", "has_color", "atlas", "mime",
+                    "has_uv", "has_color", "has_normal", "atlas", "mime",
                 ],
             )
 

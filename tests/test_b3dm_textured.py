@@ -147,6 +147,8 @@ def test_read_b3dm_tiles_scan(spark, tmp_path):
     rows = read_b3dm_tiles(spark, str(d)).collect()
     by_key = {(r["path"].split("/")[-1], r["batch_id"]): r for r in rows}
     assert len(by_key) == 6  # 4 + 2 features
+    # auto-computed flat normals are present in both tiles' containers
+    assert all(r["has_normal"] for r in rows)
     r = by_key[("t0.b3dm", 2)]
     assert r["feature_id"] == "f2" and r["n_verts"] == 6
     assert r["has_uv"] and not r["has_color"]
