@@ -194,6 +194,28 @@ def main() -> None:
     )
 
     ests = chain.get("estimates", [])
+    if not ests:
+        # every sampled chain aborted/errored before its first bracketed
+        # estimate — fall back to the most recent complete runs of each
+        # level from the run log so the bench still emits a (non-certified)
+        # record instead of crashing the driver's round
+        runs = [r for r in chain.get("runs", [])]
+        lo_r = [r for r in runs if r["run"]["cores"] == n_lo]
+        hi_r = [r for r in runs if r["run"]["cores"] == n_hi]
+        if lo_r and hi_r:
+            ests = [{
+                "eff": round(
+                    (lo_r[-1]["run"]["sec"] / hi_r[-1]["run"]["sec"])
+                    / (n_hi / n_lo), 3),
+                "lo_sec_bracket": lo_r[-1]["run"]["sec"],
+                "hi_sec": hi_r[-1]["run"]["sec"],
+                "clean": False,
+            }]
+        else:
+            raise SystemExit(
+                "no scaling estimate available: all chains aborted before"
+                " one (lo,hi) pair completed — see BENCH/scaling_chains.jsonl"
+            )
     clean_ests = [e for e in ests if e["clean"]] or ests
     med_eff = statistics.median(e["eff"] for e in clean_ests) if clean_ests else None
     lo_sec = statistics.median(e["lo_sec_bracket"] for e in clean_ests)

@@ -196,8 +196,16 @@ def run_with_canary(
 def run_chain(
     n_lo: int, n_hi: int, input_path: str, n_rows: int,
     kd_max: int, copies: int, pairs: int, label: str = "",
+    abort_on_dirty: bool = False,
 ) -> dict:
-    """Run one full bracketed chain; append the record to CHAINS_LOG."""
+    """Run one full bracketed chain; append the record to CHAINS_LOG.
+
+    abort_on_dirty stops after the first canary-dirty run: a chain with any
+    dirty run can never certify (the gate reads only host weather, never the
+    job's efficiency), so finishing it buys no evidence — aborting lets the
+    sampler try again sooner. The partial chain is still appended to the log
+    with aborted=True; it simply fails the >= pairs-estimates requirement,
+    exactly as a completed dirty chain fails the all-clean requirement."""
     chain_id = time.strftime("%Y%m%dT%H%M%S") + (f"_{label}" if label else "")
     out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out_root = tempfile.mkdtemp(prefix="chain_tiles_", dir=out_base)
@@ -220,11 +228,21 @@ def run_chain(
 
     t_start = time.time()
     err = None
+    aborted = False
     try:
         runs.append(_one(n_lo, 0))
-        for i in range(pairs):
-            runs.append(_one(n_hi, 2 * i + 1))
-            runs.append(_one(n_lo, 2 * i + 2))
+        if abort_on_dirty and not runs[-1]["clean"]:
+            aborted = True
+        else:
+            for i in range(pairs):
+                runs.append(_one(n_hi, 2 * i + 1))
+                if abort_on_dirty and not runs[-1]["clean"]:
+                    aborted = True
+                    break
+                runs.append(_one(n_lo, 2 * i + 2))
+                if abort_on_dirty and not runs[-1]["clean"]:
+                    aborted = True
+                    break
     except Exception as e:  # record partial chains too — they are evidence
         err = str(e)[-500:]
     finally:
@@ -266,6 +284,7 @@ def run_chain(
         "runs": runs,
         "estimates": estimates,
         "clean": clean,
+        "aborted": aborted,
         "efficiency": (
             round(statistics.median(e["eff"] for e in estimates), 3)
             if estimates else None
@@ -317,6 +336,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=None)
     ap.add_argument("--label", default="")
+    ap.add_argument("--abort-on-dirty", action="store_true")
     args = ap.parse_args()
 
     import bench  # lazy: bench imports the query registry
@@ -331,6 +351,7 @@ def main() -> None:
     ch = run_chain(
         n_lo, n_hi, input_path, n_rows, bench.KD_MAX,
         bench.SCALE_COPIES, pairs, label=args.label,
+        abort_on_dirty=args.abort_on_dirty,
     )
     print(json.dumps({
         "chain_id": ch["chain_id"], "clean": ch["clean"],
