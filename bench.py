@@ -59,7 +59,10 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 # inflates the lo side — pinning makes "N cores" mean N cores, exactly like
 # a cluster executor's cgroup.
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "3"))
-SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+# 2 bracketed estimates (5 runs, ~17 clean minutes) — right-sized to the
+# host's observed clean-stretch length; see BENCH/BASELINE.md "Chain length
+# right-sized", declared 2026-08-17 13:30 UTC before any pairs=2 chain ran
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
 KD_MAX = int(os.environ.get("SPARK_GRAFT_SCALE_KD_MAX", "500"))
 
 HEADLINE = [

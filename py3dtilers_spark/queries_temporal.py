@@ -9,6 +9,13 @@ hash-chosen change tags, and every 7th edge is duplicated (U6's input).
 
 The file-based GraphML-JSON scan itself (S7) is covered by
 tests/test_temporal.py against a fixture in the reference's format.
+
+Note: tg_pairs uses an un-partitioned lead() — that window lives in the
+FIXTURE-synthesis SQL only (consecutive-building adjacency over the ~2.6k
+synthetic buildings at sf0.01; both engines run the same text), never in
+the engine operators, which are all partitioned. Spark logs its
+single-partition WindowExec warning for it; at real scale the graph comes
+from files (S7 scan) and this CTE does not exist.
 """
 from __future__ import annotations
 
