@@ -146,6 +146,42 @@ def chain_record(n_lo: int, n_hi: int, n_rows: int, input_path: str) -> tuple:
             )
 
 
+def _clean_estimate_context(n_lo: int, n_hi: int, n_rows: int) -> dict:
+    """Context, not selection: every canary-clean bracketed estimate in the
+    full chain log (config- and fingerprint-matching), so the record shows
+    how representative the binding first-certified chain's number is."""
+    from tools.run_chain import CHAINS_LOG, job_fingerprint
+
+    fp = job_fingerprint()
+    effs = []
+    try:
+        with open(CHAINS_LOG) as fh:
+            for line in fh:
+                try:
+                    ch = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                cfg = ch.get("config", {})
+                if (
+                    cfg.get("cores_lo") == n_lo
+                    and cfg.get("cores_hi") == n_hi
+                    and cfg.get("n_rows") == n_rows
+                    and cfg.get("job_fingerprint") == fp
+                ):
+                    effs.extend(
+                        e["eff"] for e in ch.get("estimates", [])
+                        if e.get("clean")
+                    )
+    except OSError:
+        pass
+    return {
+        "clean_estimates_full_log": sorted(effs),
+        "clean_estimates_median": (
+            round(statistics.median(effs), 3) if effs else None
+        ),
+    }
+
+
 def _chain_log_tally() -> dict:
     """Full-log tally so the record shows how many chains were sampled and
     how many certified — nothing is hidden by the selection."""
@@ -250,7 +286,8 @@ def main() -> None:
             "cores_hi": n_hi,
             "input_rows": n_rows,
             "payload": "materialized bytes column (input_hint table)",
-            "protocol": "bracketed chain lo,(hi,lo)x3, fresh pinned JVM each,"
+            "protocol": f"bracketed chain lo,(hi,lo)x{SCALE_PAIRS}, fresh"
+                        " pinned JVM each,"
                         " DURING-RUN canary (job kernel, ~3% duty, reserved"
                         " CPUs) sampled across every run; eff_i ="
                         " (mean(bracketing lo secs)/hi sec)/4; chain"
@@ -282,6 +319,7 @@ def main() -> None:
                 for r in chain["runs"]
             ],
             **_chain_log_tally(),
+            **_clean_estimate_context(n_lo, n_hi, n_rows),
             "timings_lo": rep_lo["run"].get("timings", {}),
             "timings_hi": rep_hi["run"].get("timings", {}),
         },

@@ -108,6 +108,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-hours", type=float, default=6.0)
     ap.add_argument("--label", default="hunt")
+    ap.add_argument(
+        "--keep-going", action="store_true",
+        help="keep sampling context chains after a chain has certified"
+        " (the binding record stays the FIRST certified chain; extra"
+        " chains only document how representative its number is)",
+    )
     args = ap.parse_args()
 
     import bench
@@ -125,7 +131,7 @@ def main() -> None:
         ch = find_certified_chain(
             n_lo, n_hi, bench.SCALE_COPIES, n_rows, bench.SCALE_PAIRS
         )
-        if ch is not None:
+        if ch is not None and not args.keep_going:
             _log({"event": "certified", "chain_id": ch["chain_id"],
                   "efficiency": ch["efficiency"]})
             print(json.dumps({"certified": ch["chain_id"],
