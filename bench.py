@@ -230,6 +230,8 @@ def main() -> None:
     chain, provenance = chain_record(n_lo, n_hi, n_rows, input_path)
     from tools.run_chain import (
         CANARY_MED_MIN, CANARY_MIN_SAMPLES, CANARY_MIN_SPAN, CANARY_P10_MIN,
+        COLO_CPU_MED_MAX, COLO_CPU_P90_MAX, COLO_STEAL_MEAN_MAX,
+        COLO_STEAL_P90_MAX, GATE_VERSION,
     )
 
     ests = chain.get("estimates", [])
@@ -287,13 +289,15 @@ def main() -> None:
             "input_rows": n_rows,
             "payload": "materialized bytes column (input_hint table)",
             "protocol": f"bracketed chain lo,(hi,lo)x{SCALE_PAIRS}, fresh"
-                        " pinned JVM each,"
-                        " DURING-RUN canary (job kernel, ~3% duty, reserved"
-                        " CPUs) sampled across every run; eff_i ="
-                        " (mean(bracketing lo secs)/hi sec)/4; chain"
-                        " certified iff EVERY run canary-clean; record ="
-                        " first certified chain of the round (rule declared"
-                        " in tools/run_chain.py before data)",
+                        " pinned JVM each; DURING-RUN reserved-CPU canary"
+                        " (job kernel, ~3% duty) AND co-located probe on"
+                        " the job's own pinned CPUs (cpu-sec/tile +"
+                        " /proc/stat steal, ~2% duty) sampled across every"
+                        " run; eff_i = (mean(bracketing lo secs)/hi sec)/4;"
+                        " chain certified iff EVERY run passes BOTH gates;"
+                        " record = first chain certified under the current"
+                        " gate version (rule declared in tools/run_chain.py"
+                        " before data)",
             "provenance": provenance,
             "chain_id": chain.get("chain_id"),
             "certified": bool(chain.get("clean")),
@@ -305,15 +309,22 @@ def main() -> None:
             "efficiency": round(med_eff, 3),
             "efficiency_pairs": [e["eff"] for e in ests],
             "pairs_clean": [e["clean"] for e in ests],
-            "window_gate": f"during-run canary: n>={CANARY_MIN_SAMPLES},"
+            "window_gate": f"gate v{GATE_VERSION}: reserved-CPU canary"
+                           f" (n>={CANARY_MIN_SAMPLES},"
                            f" span>={CANARY_MIN_SPAN}, median tps >="
-                           f" {CANARY_MED_MIN}, p10 tps >= {CANARY_P10_MIN}"
-                           f" (4-proc job kernel; thresholds fixed in"
-                           f" advance)",
+                           f" {CANARY_MED_MIN}, p10 tps >= {CANARY_P10_MIN})"
+                           f" AND co-located probe on the job's pinned CPUs"
+                           f" (cpu-sec/tile med <= {COLO_CPU_MED_MAX}, p90"
+                           f" <= {COLO_CPU_P90_MAX}; job-CPU steal mean <="
+                           f" {COLO_STEAL_MEAN_MAX}, p90 <="
+                           f" {COLO_STEAL_P90_MAX}); thresholds fixed in"
+                           f" advance (tools/run_chain.py docstring,"
+                           f" BENCH/BASELINE.md 'Gate v2')",
             "canaries": [
                 {
                     "cores": r["run"]["cores"],
                     **{k: r["canary"][k] for k in ("n", "med", "p10", "min")},
+                    "colo": r.get("colo"),
                     "clean": r["clean"],
                 }
                 for r in chain["runs"]

@@ -41,7 +41,27 @@ def test_run_clean_rule(tmp_path):
     assert not rc.run_clean({**healthy, "n": 3})
 
 
-def _chain(chain_id, clean, fp, n_est=3, cores=(1, 4), copies=3, n_rows=100):
+def test_run_clean_v2_colocated_gate():
+    canary = {"n": 20, "med": 70.0, "p10": 60.0, "min": 50.0, "max": 80.0,
+              "span": 0.95}
+    colo_ok = {"n": 12, "span": 0.9, "cpu_med": 0.053, "cpu_p90": 0.060,
+               "steal_mean": 0.01, "steal_p90": 0.05}
+    assert rc.run_clean(canary, colo_ok)
+    # silicon slowdown: cpu-seconds/tile inflates (p2h3 failure mode)
+    assert not rc.run_clean(canary, {**colo_ok, "cpu_med": 0.075})
+    assert not rc.run_clean(canary, {**colo_ok, "cpu_p90": 0.095})
+    # host descheduling focused on the job's CPUs: steal
+    assert not rc.run_clean(canary, {**colo_ok, "steal_mean": 0.07})
+    assert not rc.run_clean(canary, {**colo_ok, "steal_p90": 0.20})
+    # probe died / sparse coverage
+    assert not rc.run_clean(canary, {**colo_ok, "n": 2})
+    assert not rc.run_clean(canary, {**colo_ok, "span": 0.3})
+    # both gates must hold — a dirty canary is not rescued by a clean probe
+    assert not rc.run_clean({**canary, "p10": 30.0}, colo_ok)
+
+
+def _chain(chain_id, clean, fp, n_est=3, cores=(1, 4), copies=3, n_rows=100,
+           gate_version=rc.GATE_VERSION):
     return {
         "chain_id": chain_id,
         "clean": clean,
@@ -50,6 +70,7 @@ def _chain(chain_id, clean, fp, n_est=3, cores=(1, 4), copies=3, n_rows=100):
             "n_rows": n_rows, "kd_max": 500, "pairs": 3,
             "job_fingerprint": fp,
         },
+        "gate": {"version": gate_version},
         "estimates": [{"eff": 0.9, "clean": clean}] * n_est,
         "efficiency": 0.9,
         "runs": [],
@@ -64,6 +85,11 @@ def test_first_certified_chain_selected(tmp_path, monkeypatch):
         # first VALID clean chain, then a later clean chain (must NOT win)
         fh.write(json.dumps(_chain("c1_dirty", False, fp)) + "\n")
         fh.write(json.dumps(_chain("c2_stale", True, "deadbeef")) + "\n")
+        # clean + current fingerprint but recorded under an OLDER gate —
+        # never collected the evidence the current gate reads (stale)
+        fh.write(json.dumps(
+            _chain("c2b_old_gate", True, fp,
+                   gate_version=rc.GATE_VERSION - 1)) + "\n")
         fh.write(json.dumps(_chain("c3_first_valid", True, fp)) + "\n")
         fh.write(json.dumps(_chain("c4_later", True, fp)) + "\n")
     monkeypatch.setattr(rc, "CHAINS_LOG", log)

@@ -37,20 +37,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from tools.run_chain import (  # noqa: E402
-    CANARY_CPU_BASE, CANARY_INTERVAL, CANARY_PROCS, _pctl,
+    CANARY_CPU_BASE, CANARY_INTERVAL, CANARY_PROCS,
+    COLO_STEAL_MEAN_MAX, _pctl, colo_stats,
 )
 
 PROBE_SEC = 40.0
 PROBE_MED = 58.0   # RUN_CLEAN med gate is 55
 PROBE_P10 = 46.0   # RUN_CLEAN p10 gate is 42
+# gate-v2 probe additions, on the JOB's CPUs (free between chains): the
+# kernel runs CONTINUOUSLY there during the probe (steal only accrues on a
+# busy vCPU). Idle-healthy cpu_tile is 0.0479/0.0525 med/p90 (no job to
+# timeshare with during a probe, unlike the during-run gate).
+PROBE_CPU_MED = 0.060
+PROBE_STEAL_MEAN = COLO_STEAL_MEAN_MAX
 SLEEP_BAD = 90.0
 HUNT_LOG = os.path.join(REPO, "BENCH", "hunt_log.jsonl")
 
 
-def probe_weather() -> dict:
-    """Run the canary kernel standalone for PROBE_SEC; summarize."""
+def probe_weather(job_cpus: str) -> dict:
+    """PROBE_SEC of standalone weather: the reserved-CPU canary kernel
+    (throughput) plus the co-located probe run hot on the job CPUs
+    (cpu-seconds/tile + steal). Scheduling signal only — never recorded as
+    certification evidence."""
     fd, path = tempfile.mkstemp(suffix=".jsonl", prefix="probe_")
     os.close(fd)
+    fd, colo_path = tempfile.mkstemp(suffix=".jsonl", prefix="probe_colo_")
+    os.close(fd)
+    t0 = time.time()
     p = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tools", "canary.py"),
          str(CANARY_PROCS), path, str(CANARY_INTERVAL),
@@ -58,17 +71,26 @@ def probe_weather() -> dict:
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
+    # interval 0.5 s < burst cpu time -> back-to-back bursts: keeps the job
+    # CPUs busy so per-CPU steal is observable
+    pc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "co_canary.py"),
+         colo_path, job_cpus, "0.5", "2"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
     try:
         time.sleep(PROBE_SEC)
     finally:
-        try:
-            os.killpg(os.getpgid(p.pid), signal.SIGTERM)
-            p.wait(timeout=15)
-        except (OSError, subprocess.TimeoutExpired):
+        for proc in (p, pc):
             try:
-                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
-            except OSError:
-                pass
+                os.killpg(os.getpgid(proc.pid), signal.SIGTERM)
+                proc.wait(timeout=15)
+            except (OSError, subprocess.TimeoutExpired):
+                try:
+                    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                except OSError:
+                    pass
     tps = []
     try:
         with open(path) as fh:
@@ -82,10 +104,22 @@ def probe_weather() -> dict:
         os.unlink(path)
     except OSError:
         pass
+    co = colo_stats(colo_path, t0, time.time())
+    try:
+        os.unlink(colo_path)
+    except OSError:
+        pass
     med = round(statistics.median(tps), 1) if tps else 0.0
     p10 = round(_pctl(tps, 0.10), 1) if tps else 0.0
+    ok = (
+        len(tps) >= 5 and med >= PROBE_MED and p10 >= PROBE_P10
+        and co["n"] >= 5 and co["cpu_med"] <= PROBE_CPU_MED
+        and co["steal_mean"] <= PROBE_STEAL_MEAN
+    )
     return {"n": len(tps), "med": med, "p10": p10,
-            "ok": len(tps) >= 5 and med >= PROBE_MED and p10 >= PROBE_P10}
+            "colo_cpu_med": co["cpu_med"], "colo_cpu_p90": co["cpu_p90"],
+            "colo_steal_mean": co["steal_mean"], "colo_n": co["n"],
+            "ok": ok}
 
 
 def _log(rec: dict) -> None:
@@ -120,6 +154,8 @@ def main() -> None:
     from tools.run_chain import find_certified_chain
 
     n_lo, n_hi = bench.SCALE_N, 4 * bench.SCALE_N
+    ncpu = os.cpu_count() or 32
+    job_cpus = ",".join(str(c) for c in range(ncpu - n_hi, ncpu))
     input_path = os.path.join(
         tempfile.gettempdir(),
         f"bench_input_x{bench.SCALE_COPIES}_{bench._sf_of(bench.SF_DIR)}",
@@ -137,7 +173,7 @@ def main() -> None:
             print(json.dumps({"certified": ch["chain_id"],
                               "efficiency": ch["efficiency"]}))
             return
-        w = probe_weather()
+        w = probe_weather(job_cpus)
         _log({"event": "probe", **w})
         if not w["ok"]:
             time.sleep(SLEEP_BAD)

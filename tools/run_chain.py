@@ -26,15 +26,32 @@ SELECTION RULE — declared here, in advance of any recorded data:
   none deleted, none outcome-selected; per-run canary series live under
   BENCH/canary/.
 
-RUN_CLEAN — a run's window is clean iff its during-run canary series
-(warmup burst excluded) has
-    n >= 5 samples spanning >= 70% of the run,
-    median tps >= CANARY_MED_MIN, and
-    p10   tps  >= CANARY_P10_MIN.
-Thresholds were fixed from idle-window probes (median 60-83 tps at 4
-procs; r3 degraded windows ran the same kernel at 2-4x below norm) BEFORE
-the first recorded chain. The gate reads ONLY host state — never the job's
-own efficiency — so no outcome-based selection is possible.
+RUN_CLEAN — gate version 2 (the chain record carries gate.version; the
+selection rule only accepts chains recorded under the CURRENT gate, since
+earlier chains never collected the evidence the current gate reads).
+
+v1 (reserved-CPU canary only) was proven co-temporal but NOT co-located:
+chain 20260817T141737_p2h3 certified with a hi run of 111.7 s (clean-window
+norm ~76 s) while its canary — pinned to CPUs 8-11, disjoint from the
+job's — read a healthy 61.7 med / 56.1 p10. Host weather that lands on the
+job's own vCPUs (steal focused there, per-core frequency / memory-bandwidth
+deficits) is invisible from other CPUs. v2 therefore adds a CO-LOCATED
+probe (tools/co_canary.py) on the job's pinned CPUs and gates on both:
+
+  reserved canary (unchanged): n >= 5 spanning >= 70% of the run,
+      median tps >= CANARY_MED_MIN, p10 >= CANARY_P10_MIN;
+  co-located probe: n >= COLO_MIN_SAMPLES bursts spanning >=
+      COLO_MIN_SPAN of the run, CPU-seconds/tile median <=
+      COLO_CPU_MED_MAX and p90 <= COLO_CPU_P90_MAX, job-CPU steal
+      fraction mean <= COLO_STEAL_MEAN_MAX and p90 <= COLO_STEAL_P90_MAX.
+
+v2 thresholds were fixed 2026-08-17 ~15:40 UTC from probe calibration
+measured BEFORE any v2 chain ran (BENCH/BASELINE.md "Gate v2"): idle
+cpu_tile med 0.0479 / p90 0.0525 s; under full per-CPU timeshare
+contention (the co-located regime) med 0.0528 / p90 0.0562 s; job-CPU
+steal in an ordinary window mean ~0.02. The gates still read ONLY host
+state — never the job's own efficiency — so no outcome-based selection is
+possible.
 """
 from __future__ import annotations
 
@@ -59,6 +76,19 @@ CANARY_MED_MIN = 55.0
 CANARY_P10_MIN = 42.0
 CANARY_MIN_SAMPLES = 5
 CANARY_MIN_SPAN = 0.70
+
+# gate v2: co-located probe thresholds (see module docstring; calibration
+# in BENCH/BASELINE.md "Gate v2" — contended-healthy cpu_tile med 0.0528 /
+# p90 0.0562 s, ~25-40% headroom before the gate trips)
+GATE_VERSION = 2
+COLO_INTERVAL = 6.0
+COLO_TILES = 2
+COLO_CPU_MED_MAX = 0.066
+COLO_CPU_P90_MAX = 0.080
+COLO_STEAL_MEAN_MAX = 0.05
+COLO_STEAL_P90_MAX = 0.15
+COLO_MIN_SAMPLES = 5
+COLO_MIN_SPAN = 0.60
 
 CHAINS_LOG = os.path.join(REPO, "BENCH", "scaling_chains.jsonl")
 RUNS_LOG = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
@@ -123,13 +153,58 @@ def canary_stats(path: str, t0: float, t1: float) -> dict:
     }
 
 
-def run_clean(c: dict) -> bool:
-    return (
+def colo_stats(path: str, t0: float, t1: float) -> dict:
+    """Summarize the co-located probe series over [t0, t1] (warmup
+    bursts excluded): CPU-seconds/tile distribution + job-CPU steal."""
+    cts, steals, span_lo, span_hi = [], [], None, None
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("warm") or not (t0 <= rec["t"] <= t1):
+                    continue
+                cts.extend(rec["cpu_tile"])
+                steals.append(rec["steal"])
+                span_lo = rec["t"] if span_lo is None else span_lo
+                span_hi = rec["t"]
+    except OSError:
+        pass
+    dur = max(t1 - t0, 1e-9)
+    span = ((span_hi - span_lo) / dur) if steals and span_hi is not None else 0.0
+    return {
+        "n": len(steals),
+        "cpu_med": round(statistics.median(cts), 4) if cts else 0.0,
+        "cpu_p90": round(_pctl(cts, 0.90), 4) if cts else 0.0,
+        "cpu_max": round(max(cts), 4) if cts else 0.0,
+        "steal_mean": round(statistics.mean(steals), 4) if steals else 0.0,
+        "steal_p90": round(_pctl(steals, 0.90), 4) if steals else 0.0,
+        "steal_max": round(max(steals), 4) if steals else 0.0,
+        "span": round(span, 3),
+    }
+
+
+def run_clean(c: dict, colo: dict | None = None) -> bool:
+    """Gate v2: reserved canary AND co-located probe must both be clean."""
+    canary_ok = (
         c["n"] >= CANARY_MIN_SAMPLES
         and c["span"] >= CANARY_MIN_SPAN
         and c["med"] >= CANARY_MED_MIN
         and c["p10"] >= CANARY_P10_MIN
     )
+    if colo is None:
+        return canary_ok
+    colo_ok = (
+        colo["n"] >= COLO_MIN_SAMPLES
+        and colo["span"] >= COLO_MIN_SPAN
+        and colo["cpu_med"] <= COLO_CPU_MED_MAX
+        and colo["cpu_p90"] <= COLO_CPU_P90_MAX
+        and colo["steal_mean"] <= COLO_STEAL_MEAN_MAX
+        and colo["steal_p90"] <= COLO_STEAL_P90_MAX
+    )
+    return canary_ok and colo_ok
 
 
 def run_with_canary(
@@ -150,6 +225,17 @@ def run_with_canary(
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
+    # co-located probe on the job's own pinned CPUs (scaling_run.py pins to
+    # the TOP `cores` CPUs): the gate-v2 signals, see module docstring
+    ncpu = os.cpu_count() or cores
+    job_cpus = ",".join(str(c) for c in range(ncpu - cores, ncpu))
+    colo_file = canary_file.replace(".jsonl", "_colo.jsonl")
+    colo = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "co_canary.py"),
+         colo_file, job_cpus, str(COLO_INTERVAL), str(COLO_TILES)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
     out = os.path.join(out_root, f"c{cores}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -163,25 +249,27 @@ def run_with_canary(
         out_s, err_s = run_p.communicate()
     finally:
         t1 = time.time()
-        for p in (can, run_p):
+        for p in (can, colo, run_p):
             try:
                 os.killpg(os.getpgid(p.pid), signal.SIGTERM)
             except (ProcessLookupError, PermissionError, OSError):
                 pass
-        try:
-            can.wait(timeout=30)
-        except Exception:
+        for p in (can, colo):
             try:
-                os.killpg(os.getpgid(can.pid), signal.SIGKILL)
-            except OSError:
-                pass
+                p.wait(timeout=30)
+            except Exception:
+                try:
+                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                except OSError:
+                    pass
     if run_p.returncode != 0:
         raise RuntimeError(f"scaling run c{cores} failed:\n{err_s[-4000:]}")
     run = json.loads(out_s.strip().splitlines()[-1])
     # skip the canary's first ~2 samples worth of JVM/session startup? No:
     # the run's wall clock INCLUDES startup, so the window gate covers it too
     c = canary_stats(canary_file, t0, t1)
-    rec = {"run": run, "canary": c, "clean": run_clean(c),
+    co = colo_stats(colo_file, t0, t1)
+    rec = {"run": run, "canary": c, "colo": co, "clean": run_clean(c, co),
            "t0": round(t0, 1), "t1": round(t1, 1),
            "canary_file": os.path.relpath(canary_file, REPO)}
     try:
@@ -278,8 +366,13 @@ def run_chain(
             "job_fingerprint": fp,
         },
         "gate": {
+            "version": GATE_VERSION,
             "med_min": CANARY_MED_MIN, "p10_min": CANARY_P10_MIN,
             "min_samples": CANARY_MIN_SAMPLES, "min_span": CANARY_MIN_SPAN,
+            "colo_cpu_med_max": COLO_CPU_MED_MAX,
+            "colo_cpu_p90_max": COLO_CPU_P90_MAX,
+            "colo_steal_mean_max": COLO_STEAL_MEAN_MAX,
+            "colo_steal_p90_max": COLO_STEAL_P90_MAX,
         },
         "runs": runs,
         "estimates": estimates,
@@ -317,6 +410,10 @@ def find_certified_chain(
                 cfg = ch.get("config", {})
                 if (
                     ch.get("clean")
+                    # a chain recorded under an older gate never collected
+                    # the evidence the current gate reads — stale, exactly
+                    # like a stale job fingerprint
+                    and ch.get("gate", {}).get("version") == GATE_VERSION
                     and len(ch.get("estimates", [])) >= pairs
                     and cfg.get("cores_lo") == n_lo
                     and cfg.get("cores_hi") == n_hi
@@ -360,6 +457,10 @@ def main() -> None:
         "canaries": [
             (r["run"]["cores"], r["canary"]["med"], r["canary"]["p10"],
              r["clean"]) for r in ch["runs"]
+        ],
+        "colo": [
+            (r["run"]["cores"], r.get("colo", {}).get("cpu_med"),
+             r.get("colo", {}).get("steal_mean")) for r in ch["runs"]
         ],
         "error": ch["error"],
     }))
