@@ -117,7 +117,9 @@ def chain_record(n_lo: int, n_hi: int, n_rows: int, input_path: str) -> tuple:
     certifies or the deadline cannot fit another."""
     from tools.run_chain import find_certified_chain, run_chain
 
-    chain = find_certified_chain(n_lo, n_hi, SCALE_COPIES, n_rows, SCALE_PAIRS)
+    chain = find_certified_chain(
+        n_lo, n_hi, SCALE_COPIES, n_rows, SCALE_PAIRS, kd_max=KD_MAX
+    )
     if chain is not None:
         return chain, "first certified chain in BENCH/scaling_chains.jsonl"
     t0 = time.time()
@@ -125,10 +127,22 @@ def chain_record(n_lo: int, n_hi: int, n_rows: int, input_path: str) -> tuple:
     i = 0
     while True:
         i += 1
-        chain = run_chain(
-            n_lo, n_hi, input_path, n_rows, KD_MAX, SCALE_COPIES, SCALE_PAIRS,
-            label=f"live{i}",
-        )
+        try:
+            chain = run_chain(
+                n_lo, n_hi, input_path, n_rows, KD_MAX, SCALE_COPIES,
+                SCALE_PAIRS, label=f"live{i}",
+            )
+        except RuntimeError as e:
+            # pre-flight refusal (live scaling processes exist) or a failed
+            # run: the bench must still emit a record, not crash the round.
+            # Orphans usually die within a minute of their parent; retry a
+            # few times before giving up on live evidence entirely.
+            if best is not None or i >= 4:
+                if best is not None:
+                    return best, f"live chains x{i - 1}; last error: {e}"
+                raise SystemExit(f"no scaling chain could run: {e}")
+            time.sleep(60)
+            continue
         if chain.get("clean"):
             return chain, "live chain (no pre-recorded certified chain matched)"
         # keep the dirtier chain only as a fallback record: most clean
@@ -150,10 +164,10 @@ def _clean_estimate_context(n_lo: int, n_hi: int, n_rows: int) -> dict:
     """Context, not selection: every canary-clean bracketed estimate in the
     full chain log (config- and fingerprint-matching), so the record shows
     how representative the binding first-certified chain's number is."""
-    from tools.run_chain import CHAINS_LOG, job_fingerprint
+    from tools.run_chain import CHAINS_LOG, GATE_VERSION, job_fingerprint
 
     fp = job_fingerprint()
-    effs = []
+    effs, effs_cur = [], []
     try:
         with open(CHAINS_LOG) as fh:
             for line in fh:
@@ -166,18 +180,29 @@ def _clean_estimate_context(n_lo: int, n_hi: int, n_rows: int) -> dict:
                     cfg.get("cores_lo") == n_lo
                     and cfg.get("cores_hi") == n_hi
                     and cfg.get("n_rows") == n_rows
+                    and cfg.get("kd_max") == KD_MAX
                     and cfg.get("job_fingerprint") == fp
                 ):
-                    effs.extend(
+                    clean = [
                         e["eff"] for e in ch.get("estimates", [])
                         if e.get("clean")
-                    )
+                    ]
+                    effs.extend(clean)
+                    if ch.get("gate", {}).get("version") == GATE_VERSION:
+                        effs_cur.extend(clean)
     except OSError:
         pass
     return {
+        # full log mixes estimates judged clean under EARLIER gate versions
+        # (weaker windows) — kept for transparency; the current-gate subset
+        # is the like-for-like context for the binding number
         "clean_estimates_full_log": sorted(effs),
         "clean_estimates_median": (
             round(statistics.median(effs), 3) if effs else None
+        ),
+        "clean_estimates_current_gate": sorted(effs_cur),
+        "clean_estimates_current_gate_median": (
+            round(statistics.median(effs_cur), 3) if effs_cur else None
         ),
     }
 
@@ -263,11 +288,17 @@ def main() -> None:
     hi_sec = statistics.median(e["hi_sec"] for e in clean_ests)
     # representative hi run = the one whose bracketed estimate is the median
     rep_est = min(clean_ests, key=lambda e: abs(e["eff"] - med_eff))
-    rep_hi = next(
-        r for r in chain["runs"]
+    rep_hi_idx = next(
+        i for i, r in enumerate(chain["runs"])
         if r["run"]["cores"] == n_hi and r["run"]["sec"] == rep_est["hi_sec"]
     )
-    rep_lo = next(r for r in chain["runs"] if r["run"]["cores"] == n_lo)
+    rep_hi = chain["runs"][rep_hi_idx]
+    # the lo run immediately preceding the representative hi run is one of
+    # its two brackets — report ITS timings, not the chain's first lo run
+    rep_lo = next(
+        chain["runs"][i] for i in range(rep_hi_idx - 1, -1, -1)
+        if chain["runs"][i]["run"]["cores"] == n_lo
+    )
 
     total = round(sum(queries.values()) + hi_sec, 3)
     queries[f"tiler_pipeline_x{SCALE_COPIES}_c{n_hi}"] = round(hi_sec, 3)

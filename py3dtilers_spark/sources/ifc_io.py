@@ -409,6 +409,13 @@ def ifc_brep_meshes(entities: DataFrame) -> DataFrame:
                     (ring3[:, a] - np.roll(ring3[:, a], -1))
                     * (ring3[:, b_] + np.roll(ring3[:, b_], -1))
                 )
+            # |Newell| = 2*face area; compare against the loop's squared
+            # extent so a collinear/sliver outer loop (zero or near-zero
+            # area at its own scale) is skipped — no plane to project onto,
+            # and the holes branch below divides by nrm[k]
+            ext = float(np.ptp(ring3, axis=0).max())
+            if not np.any(np.abs(nrm) > 1e-9 * max(ext * ext, 1e-30)):
+                continue
             k = int(np.argmax(np.abs(nrm)))
             u, v = [ax for ax in range(3) if ax != k]
 

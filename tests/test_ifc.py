@@ -244,3 +244,59 @@ def test_ifc_faceted_brep_meshes(spark, tmp_path):
     assert (h["xmin"], h["xmax"], h["ymin"], h["ymax"], h["zmin"], h["zmax"]) == (
         0.0, 10.0, 0.0, 10.0, 5.0, 5.0
     )
+
+
+IFC_BREP_DEGEN_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCCOLUMN('DEG',#1,'D',$,$,$,#99,$);
+#100= IFCCARTESIANPOINT((0.,0.,0.));
+#101= IFCCARTESIANPOINT((4.,0.,0.));
+#102= IFCCARTESIANPOINT((0.,4.,0.));
+#110= IFCPOLYLOOP((#100,#101,#102));
+#120= IFCFACEOUTERBOUND(#110,.T.);
+#130= IFCFACE((#120));
+#200= IFCCARTESIANPOINT((0.,0.,1.));
+#201= IFCCARTESIANPOINT((1.,0.,1.));
+#202= IFCCARTESIANPOINT((2.,0.,1.));
+#203= IFCCARTESIANPOINT((3.,0.,1.));
+#210= IFCCARTESIANPOINT((1.2,0.,1.));
+#211= IFCCARTESIANPOINT((1.6,0.,1.));
+#212= IFCCARTESIANPOINT((1.9,0.,1.));
+#220= IFCPOLYLOOP((#200,#201,#202,#203));
+#221= IFCPOLYLOOP((#210,#211,#212));
+#230= IFCFACEOUTERBOUND(#220,.T.);
+#231= IFCFACEBOUND(#221,.T.);
+#240= IFCFACE((#230,#231));
+#141= IFCCLOSEDSHELL((#130,#240));
+#142= IFCFACETEDBREP(#141);
+#98= IFCSHAPEREPRESENTATION($,'Body','Brep',(#142));
+#99= IFCPRODUCTDEFINITIONSHAPE($,$,(#98));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_brep_degenerate_face_skipped(spark, tmp_path):
+    """A face whose outer loop is collinear has a zero Newell normal: no
+    projection plane exists, and the hole-lift branch would divide by
+    nrm[k] and poison the solid bbox with NaN/inf. The face (here WITH an
+    inner IfcFaceBound, exercising exactly that branch) must be skipped,
+    leaving the good face's mesh and a finite bbox."""
+    import math
+
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes
+
+    p = tmp_path / "degen.ifc"
+    p.write_text(IFC_BREP_DEGEN_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes(ents).collect()}
+    d = rows["DEG"]
+    # only the good triangle survives (area 8 -> surface2 16)
+    assert d["n_tri"] == 1 and d["surface2"] == 16
+    bbox = (d["xmin"], d["xmax"], d["ymin"], d["ymax"], d["zmin"], d["zmax"])
+    assert all(math.isfinite(v) for v in bbox)
+    # the skipped face's z=1 points must not leak into the bbox
+    assert bbox == (0.0, 4.0, 0.0, 4.0, 0.0, 0.0)

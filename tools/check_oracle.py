@@ -8,6 +8,7 @@ mismatch. Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -17,10 +18,14 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# oracles that embed trained model literals (IVF centroids) must train on
+# the SAME table the harness runs against, whatever sf this invocation uses
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
 from py3dtilers_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -165,7 +165,8 @@ def main() -> None:
     i = 0
     while time.time() < deadline:
         ch = find_certified_chain(
-            n_lo, n_hi, bench.SCALE_COPIES, n_rows, bench.SCALE_PAIRS
+            n_lo, n_hi, bench.SCALE_COPIES, n_rows, bench.SCALE_PAIRS,
+            kd_max=bench.KD_MAX,
         )
         if ch is not None and not args.keep_going:
             _log({"event": "certified", "chain_id": ch["chain_id"],
@@ -189,8 +190,19 @@ def main() -> None:
         tail = (res.stdout or res.stderr or "").strip().splitlines()
         _log({"event": "chain_done", "label": label, "rc": res.returncode,
               "out": tail[-1][:500] if tail else ""})
-    _log({"event": "deadline"})
-    print(json.dumps({"certified": None}))
+    # deadline: report whether certification happened at any point (with
+    # --keep-going the early-return above never fires, but a certified chain
+    # may well exist — do not tell the caller the hunt failed)
+    ch = find_certified_chain(
+        n_lo, n_hi, bench.SCALE_COPIES, n_rows, bench.SCALE_PAIRS,
+        kd_max=bench.KD_MAX,
+    )
+    _log({"event": "deadline",
+          "certified": ch["chain_id"] if ch else None})
+    print(json.dumps({
+        "certified": ch["chain_id"] if ch else None,
+        "efficiency": ch["efficiency"] if ch else None,
+    }))
 
 
 if __name__ == "__main__":

@@ -249,9 +249,14 @@ def run_with_canary(
         out_s, err_s = run_p.communicate()
     finally:
         t1 = time.time()
+        # start_new_session makes each child its own process-group leader, so
+        # signal pgid == p.pid directly: os.getpgid(p.pid) raises
+        # ProcessLookupError once communicate() has reaped the leader, which
+        # would leave its still-live grandchildren (JVM, forked workers)
+        # unsignalled — the orphan class that poisons later runs in the chain
         for p in (can, colo, run_p):
             try:
-                os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+                os.killpg(p.pid, signal.SIGTERM)
             except (ProcessLookupError, PermissionError, OSError):
                 pass
         for p in (can, colo):
@@ -259,7 +264,7 @@ def run_with_canary(
                 p.wait(timeout=30)
             except Exception:
                 try:
-                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                    os.killpg(p.pid, signal.SIGKILL)
                 except OSError:
                     pass
     if run_p.returncode != 0:
@@ -307,7 +312,7 @@ def run_chain(
     # pre-flight: another live scaling_run/canary would compete for the
     # pinned CPUs and silently bias this chain — refuse to start over it
     probe = subprocess.run(
-        ["pgrep", "-f", "scaling_run.py|tools/canary.py"],
+        ["pgrep", "-f", "scaling_run.py|tools/canary.py|tools/co_canary.py"],
         capture_output=True, text=True,
     )
     others = [p for p in probe.stdout.split() if p and int(p) != os.getpid()]
@@ -396,9 +401,12 @@ def run_chain(
 
 def find_certified_chain(
     n_lo: int, n_hi: int, copies: int, n_rows: int, pairs: int,
+    kd_max: int | None = None,
 ) -> dict | None:
     """Apply the declared selection rule: first clean, config-matching,
-    fingerprint-current chain in the log."""
+    fingerprint-current chain in the log. kd_max changes tile sizes and
+    hence the measured seconds, so it is part of the config match (None
+    accepts any, for backward compatibility with direct callers)."""
     fp = job_fingerprint()
     try:
         with open(CHAINS_LOG) as fh:
@@ -419,6 +427,7 @@ def find_certified_chain(
                     and cfg.get("cores_hi") == n_hi
                     and cfg.get("copies") == copies
                     and cfg.get("n_rows") == n_rows
+                    and (kd_max is None or cfg.get("kd_max") == kd_max)
                     and cfg.get("job_fingerprint") == fp
                 ):
                     return ch
