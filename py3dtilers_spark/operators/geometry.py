@@ -378,3 +378,199 @@ def ring_doubled_area(ring: np.ndarray) -> float:
     x, y = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x, -1), np.roll(y, -1)
     return float(abs(np.sum(x * y2 - x2 * y)))
+
+
+def mesh_volume6(tris: np.ndarray) -> float:
+    """Six times the signed volume of a closed triangle soup (divergence
+    theorem over origin-anchored tetrahedra). Positive for outward-CCW
+    winding; used by the boolean-clip tests to pin the clipped solid."""
+    if len(tris) == 0:
+        return 0.0
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    return float(np.sum(np.einsum("ij,ij->i", a, np.cross(b, c))))
+
+
+def clip_mesh_halfspace(
+    tris: np.ndarray,
+    origin: np.ndarray,
+    normal: np.ndarray,
+    cap: bool = True,
+    eps: float = 1e-9,
+) -> np.ndarray:
+    """Clip a closed triangle mesh by a plane, keeping the half-space
+    `dot(normal, p - origin) >= 0`, and (by default) sealing the cut with
+    planar cap triangles so the result is closed again.
+
+    This is the tractable core of IfcBooleanClippingResult — DIFFERENCE
+    against an IfcHalfSpaceSolid whose surface is an IfcPlane (sloped roofs
+    / wall cuts), the boolean form that dominates real IFC files. The
+    reference obtains these meshes wholesale from ifcopenshell
+    (/root/reference/py3dtilers/IfcTiler/ifcObjectGeom.py:74-130); here the
+    clip is ~80 lines of numpy: per-triangle Sutherland-Hodgman against one
+    half-plane (1 or 2 output triangles), then cap loops reassembled from
+    the cut segments and ear-clipped in the plane's 2-D frame. General
+    solid-solid booleans (IfcBooleanResult with two BReps) remain out of
+    scope.
+
+    tris: (n, 3, 3) float; origin/normal: (3,) plane definition. Returns a
+    new (m, 3, 3) soup; empty when the solid lies entirely below the plane.
+    """
+    tris = np.asarray(tris, dtype=np.float64).reshape(-1, 3, 3)
+    nrm = np.asarray(normal, dtype=np.float64)
+    nlen = float(np.linalg.norm(nrm))
+    if len(tris) == 0 or nlen == 0.0:
+        return tris
+    nrm = nrm / nlen
+    org = np.asarray(origin, dtype=np.float64)
+    d = np.einsum("ijk,k->ij", tris - org, nrm)  # (n, 3) signed dists
+
+    keep_all = np.all(d >= -eps, axis=1)
+    drop_all = np.all(d <= eps, axis=1) & ~keep_all
+    out: list[np.ndarray] = [tris[keep_all]]
+    cut_segments: list[tuple[np.ndarray, np.ndarray]] = []
+
+    # when the plane passes exactly through mesh edges (axis-aligned cuts,
+    # planes through corners), no triangle strictly crosses — the cap ring
+    # is instead bounded by ON-PLANE edges of DROPPED triangles (each such
+    # edge borders kept geometry across the cut). Collect them as segments;
+    # a dropped-dropped shared edge duplicates harmlessly (its 2-node loop
+    # fails the area filter).
+    for ti in np.nonzero(drop_all)[0]:
+        v, dv = tris[ti], d[ti]
+        on = np.abs(dv) <= eps
+        if on.sum() == 2:
+            i, j = np.nonzero(on)[0]
+            cut_segments.append((v[i], v[j]))
+
+    def lerp(p, q, dp, dq):
+        t = dp / (dp - dq)
+        return p + t * (q - p)
+
+    for ti in np.nonzero(~keep_all & ~drop_all)[0]:
+        v, dv = tris[ti], d[ti]
+        # walk the triangle as a polygon, emitting the kept sub-polygon and
+        # the (single, because a triangle is convex) on-plane cut segment
+        poly: list[np.ndarray] = []
+        plane_pts: list[np.ndarray] = []
+        for i in range(3):
+            j = (i + 1) % 3
+            p, q, dp, dq = v[i], v[j], dv[i], dv[j]
+            if dp >= -eps:
+                poly.append(p)
+                if abs(dp) <= eps:
+                    plane_pts.append(p)
+            if (dp > eps and dq < -eps) or (dp < -eps and dq > eps):
+                x = lerp(p, q, dp, dq)
+                poly.append(x)
+                plane_pts.append(x)
+        if len(poly) >= 3:
+            poly_a = np.asarray(poly)
+            fan = np.stack(
+                [
+                    np.repeat(poly_a[:1], len(poly_a) - 2, axis=0),
+                    poly_a[1:-1],
+                    poly_a[2:],
+                ],
+                axis=1,
+            )
+            out.append(fan)
+        if len(plane_pts) == 2:
+            cut_segments.append((plane_pts[0], plane_pts[1]))
+
+    if cap and cut_segments:
+        out.extend(_cap_from_segments(cut_segments, org, nrm, eps))
+    parts = [p for p in out if len(p)]
+    if not parts:
+        return np.empty((0, 3, 3), dtype=np.float64)
+    return np.concatenate(parts, axis=0)
+
+
+def _cap_from_segments(
+    segments: list, org: np.ndarray, nrm: np.ndarray, eps: float
+) -> list[np.ndarray]:
+    """Reassemble the on-plane cut segments into closed loops and ear-clip
+    each in the plane's 2-D frame, winding the cap so its normal is -nrm
+    (outward for the kept half-space)."""
+    # 2-D frame in the plane
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(nrm @ a) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    u = np.cross(nrm, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(nrm, u)
+
+    def key(p):
+        return (round(float((p - org) @ u), 7), round(float((p - org) @ v), 7))
+
+    # adjacency: endpoint key -> list of (other key)
+    adj: dict = {}
+    pts3: dict = {}
+    for p, q in segments:
+        kp, kq = key(p), key(q)
+        if kp == kq:
+            continue
+        adj.setdefault(kp, []).append(kq)
+        adj.setdefault(kq, []).append(kp)
+        pts3.setdefault(kp, p)
+        pts3.setdefault(kq, q)
+    used = set()
+    caps: list[np.ndarray] = []
+    for start in adj:
+        if start in used or not adj[start]:
+            continue
+        loop = [start]
+        used.add(start)
+        cur, prev = start, None
+        while True:
+            nxt = None
+            for cand in adj[cur]:
+                if cand != prev and (cand == start or cand not in used):
+                    nxt = cand
+                    break
+            if nxt is None or nxt == start:
+                break
+            loop.append(nxt)
+            used.add(nxt)
+            prev, cur = cur, nxt
+        if len(loop) < 3:
+            continue
+        ring2 = np.array(loop, dtype=np.float64)
+        # SIGNED shoelace (ring_doubled_area is |abs|): ear_clip demands a
+        # CCW exterior, and the walk direction of the segment graph is
+        # arbitrary, so a CW loop must be reversed here
+        x2s, y2s = ring2[:, 0], ring2[:, 1]
+        area2 = float(
+            np.sum(x2s * np.roll(y2s, -1) - np.roll(x2s, -1) * y2s)
+        )
+        if abs(area2) < eps:
+            continue
+        if area2 < 0:
+            ring2 = ring2[::-1]
+            loop = loop[::-1]
+        # cut segments from coplanar triangle fans leave collinear run-on
+        # vertices on the loop (e.g. a face diagonal's midpoint between two
+        # edge midpoints); the strict ear test rejects those corners, so
+        # simplify them away first
+        keep_idx = []
+        m = len(ring2)
+        scale = max(float(np.abs(ring2).max()), 1.0)
+        for i in range(m):
+            p0, p1, p2 = ring2[i - 1], ring2[i], ring2[(i + 1) % m]
+            cr = (p1[0] - p0[0]) * (p2[1] - p1[1]) - (p1[1] - p0[1]) * (
+                p2[0] - p1[0]
+            )
+            if abs(cr) > eps * scale * scale:
+                keep_idx.append(i)
+        if len(keep_idx) < 3:
+            continue
+        ring2 = ring2[keep_idx]
+        loop = [loop[i] for i in keep_idx]
+        idx = ear_clip(ring2)
+        if len(idx) == 0:
+            continue
+        p3 = np.array([pts3[k] for k in loop])
+        cap_tris = p3[idx]
+        # CCW in the (u, v) frame gives triangle normal +nrm (u x v = nrm
+        # frame is right-handed); the cap must face -nrm -> flip winding
+        caps.append(cap_tris[:, ::-1, :])
+    return caps
