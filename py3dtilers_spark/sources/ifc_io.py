@@ -303,6 +303,10 @@ def ifc_product_meshes(entities: DataFrame) -> DataFrame:
     # faceted BReps are representation items exactly like swept solids, so
     # their meshes union straight into the same (solid_id-keyed) mesh table
     meshes = meshes.unionByName(ifc_brep_meshes(entities))
+    # boolean clipping results (plane half-space DIFFERENCE, incl. chains)
+    # are representation items too: evaluate them over the base meshes and
+    # union under their own result ids
+    meshes = meshes.unionByName(ifc_clipped_meshes(entities, meshes))
     return ifc_product_solids(entities).join(meshes, "solid_id").select(
         "entity_id", "global_id", "ifc_class", "n_tri", "surface2",
         "xmin", "xmax", "ymin", "ymax", "zmin", "zmax", "tris",
@@ -485,3 +489,166 @@ def ifc_points_bbox(entities: DataFrame) -> DataFrame:
         F.min("y").alias("ymin"), F.max("y").alias("ymax"),
         F.min("z").alias("zmin"), F.max("z").alias("zmax"),
     )
+
+
+def ifc_boolean_clips(entities: DataFrame) -> DataFrame:
+    """IFCBOOLEANCLIPPINGRESULT rows resolved to an executable plane clip:
+    (result_id, first_id, ox..oz plane origin, nx..nz KEEP-side normal).
+
+    STEP chain: BOOLEANCLIPPINGRESULT(.DIFFERENCE., #body, #halfspace) ->
+    IFCHALFSPACESOLID(#surface, agreement) -> IFCPLANE(#placement) ->
+    IFCAXIS2PLACEMENT3D(#origin, #axis, #refdir) -> origin point + axis
+    direction. Per the IFC AgreementFlag semantics (material of the half
+    space lies OPPOSITE the surface normal when TRUE), DIFFERENCE keeps
+    the normal side when agreement is TRUE and the anti-normal side when
+    FALSE. Axis defaults to (0,0,1) when unset ($), matching the schema
+    default of IfcAxis2Placement3D. All planes are in the solid's local
+    frame, same as the swept/BRep evaluation."""
+    clips = entities.where(
+        F.col("ifc_class") == "IFCBOOLEANCLIPPINGRESULT"
+    ).select(
+        F.col("entity_id").alias("result_id"),
+        F.regexp_extract("args", r"#(\d+)", 1).cast("bigint").alias("first_id"),
+        F.regexp_extract("args", r"#\d+\s*,\s*#(\d+)", 1)
+        .cast("bigint")
+        .alias("hs_id"),
+    )
+    half = entities.where(F.col("ifc_class") == "IFCHALFSPACESOLID").select(
+        F.col("entity_id").alias("hs_id"),
+        F.regexp_extract("args", r"#(\d+)", 1).cast("bigint").alias("surface_id"),
+        (F.regexp_extract("args", r"\.(T|F)\.", 1) == "T").alias("agreement"),
+    )
+    planes = entities.where(F.col("ifc_class") == "IFCPLANE").select(
+        F.col("entity_id").alias("surface_id"),
+        F.regexp_extract("args", r"#(\d+)", 1).cast("bigint").alias("placement_id"),
+    )
+    # IfcAxis2Placement3D(#loc, #axis|$, #refdir|$): positional split —
+    # the axis slot may be '$', in which case the schema default +Z applies
+    plc = entities.where(
+        F.col("ifc_class") == "IFCAXIS2PLACEMENT3D"
+    ).select(
+        F.col("entity_id").alias("placement_id"),
+        F.split(F.regexp_replace("args", r"\s", ""), ",").alias("slots"),
+    ).select(
+        "placement_id",
+        F.regexp_extract(F.element_at("slots", 1), r"#(\d+)", 1)
+        .cast("bigint")
+        .alias("loc_id"),
+        F.regexp_extract(F.element_at("slots", 2), r"#(\d+)", 1)
+        .cast("bigint")
+        .alias("axis_id"),
+    )
+    dirs = entities.where(F.col("ifc_class") == "IFCDIRECTION").select(
+        F.col("entity_id").alias("axis_id"),
+        F.split(F.regexp_replace("args", r"[()\s]", ""), ",").alias("c"),
+    ).select(
+        "axis_id",
+        F.element_at("c", 1).cast("double").alias("dx"),
+        F.element_at("c", 2).cast("double").alias("dy"),
+        F.coalesce(F.try_element_at("c", F.lit(3)).cast("double"), F.lit(0.0))
+        .alias("dz"),
+    )
+    locs = ifc_cartesian_points(entities).selectExpr(
+        "entity_id AS loc_id", "x AS ox", "y AS oy", "z AS oz"
+    )
+    resolved = (
+        clips.join(F.broadcast(half), "hs_id")
+        .join(F.broadcast(planes), "surface_id")
+        .join(F.broadcast(plc), "placement_id")
+        .join(F.broadcast(locs), "loc_id")
+        .join(F.broadcast(dirs), "axis_id", "left")
+    )
+    sign = F.when(F.col("agreement"), F.lit(1.0)).otherwise(F.lit(-1.0))
+    return resolved.select(
+        "result_id",
+        "first_id",
+        "ox", "oy", "oz",
+        (sign * F.coalesce("dx", F.lit(0.0))).alias("nx"),
+        (sign * F.coalesce("dy", F.lit(0.0))).alias("ny"),
+        (sign * F.coalesce("dz", F.lit(1.0))).alias("nz"),
+    )
+
+
+def _mesh_row_pdf(sid: int, tris):
+    """(solid_id, n_tri, surface2, bbox, tris) row — the mesh-table shape
+    shared by swept, BRep, and clipped evaluation."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.geometry import triangle_normals
+
+    _, dbl = triangle_normals(tris) if len(tris) else (None, np.zeros(0))
+    flat = tris.reshape(-1, 3) if len(tris) else np.zeros((1, 3))
+    return pd.DataFrame(
+        [
+            {
+                "solid_id": int(sid),
+                "n_tri": int(len(tris)),
+                "surface2": int(np.rint(dbl.sum())),
+                "xmin": float(flat[:, 0].min()),
+                "xmax": float(flat[:, 0].max()),
+                "ymin": float(flat[:, 1].min()),
+                "ymax": float(flat[:, 1].max()),
+                "zmin": float(flat[:, 2].min()),
+                "zmax": float(flat[:, 2].max()),
+                "tris": np.ascontiguousarray(tris, dtype=np.float32).tobytes(),
+            }
+        ]
+    )
+
+
+_MESH_SCHEMA = (
+    "solid_id bigint, n_tri int, surface2 bigint,"
+    " xmin double, xmax double, ymin double, ymax double,"
+    " zmin double, zmax double, tris binary"
+)
+
+
+def ifc_clipped_meshes(
+    entities: DataFrame, base_meshes: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Evaluate IfcBooleanClippingResult chains over already-evaluated body
+    meshes: result mesh = clip_mesh_halfspace(first operand's mesh, plane).
+    The reference gets these wholesale from ifcopenshell
+    (/root/reference/py3dtilers/IfcTiler/ifcObjectGeom.py:74-130); here
+    each clip is one broadcast join (plane parameters onto the body-mesh
+    row) + an Arrow-batched kernel call. Chained results (a clip whose
+    first operand is itself a clip, the normal multi-cut wall/roof form)
+    resolve iteratively up to `max_depth` levels; each level only
+    processes results whose operand became available in the previous one,
+    so the loop does max_depth joins, not max_depth full re-evaluations."""
+    clips = ifc_boolean_clips(entities)
+
+    def eval_clip(pdf):
+        import numpy as np
+
+        from ..operators.geometry import clip_mesh_halfspace
+
+        row = pdf.iloc[0]
+        tris = np.frombuffer(
+            bytes(row["tris"]), dtype=np.float32
+        ).astype(np.float64).reshape(-1, 3, 3)
+        out = clip_mesh_halfspace(
+            tris,
+            np.array([row["ox"], row["oy"], row["oz"]]),
+            np.array([row["nx"], row["ny"], row["nz"]]),
+        )
+        return _mesh_row_pdf(row["result_id"], out)
+
+    known = base_meshes
+    produced: list[DataFrame] = []
+    for _ in range(max_depth):
+        layer = clips.join(
+            known.withColumnRenamed("solid_id", "first_id"), "first_id"
+        )
+        resolved = layer.groupBy("result_id").applyInPandas(
+            eval_clip, _MESH_SCHEMA
+        )
+        # next level resolves only against THIS layer's outputs (a chain's
+        # parent is always the immediately-lower result)
+        known = resolved
+        produced.append(resolved)
+    out = produced[0]
+    for p in produced[1:]:
+        out = out.unionByName(p)
+    return out

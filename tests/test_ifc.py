@@ -1,5 +1,7 @@
 """S3: distributed IFC STEP scan, against a synthetic fixture in the
 ISO-10303-21 format (the shape of the reference's tests/ifc_tiler_test_data)."""
+import pytest
+
 from py3dtilers_spark.sources.ifc_io import (
     ifc_class_counts,
     ifc_containment,
@@ -300,3 +302,72 @@ def test_ifc_brep_degenerate_face_skipped(spark, tmp_path):
     assert all(math.isfinite(v) for v in bbox)
     # the skipped face's z=1 points must not leak into the bbox
     assert bbox == (0.0, 4.0, 0.0, 4.0, 0.0, 0.0)
+
+
+IFC_CLIP_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#30= IFCROOF('ROOF_C',#1,'R',$,$,$,#99,$);
+#31= IFCBEAM('BEAM_CC',#1,'B',$,$,$,#199,$);
+#70= IFCRECTANGLEPROFILEDEF(.AREA.,$,$,2.,2.);
+#58= IFCDIRECTION((0.,0.,1.));
+#80= IFCEXTRUDEDAREASOLID(#70,$,#58,2.);
+#81= IFCCARTESIANPOINT((0.,0.,1.));
+#82= IFCAXIS2PLACEMENT3D(#81,#58,$);
+#83= IFCPLANE(#82);
+#85= IFCHALFSPACESOLID(#83,.T.);
+#90= IFCBOOLEANCLIPPINGRESULT(.DIFFERENCE.,#80,#85);
+#98= IFCSHAPEREPRESENTATION($,'Body','Clipping',(#90));
+#99= IFCPRODUCTDEFINITIONSHAPE($,$,(#98));
+#181= IFCCARTESIANPOINT((0.,0.,0.));
+#182= IFCDIRECTION((1.,0.,0.));
+#183= IFCAXIS2PLACEMENT3D(#181,#182,$);
+#184= IFCPLANE(#183);
+#185= IFCHALFSPACESOLID(#184,.F.);
+#190= IFCBOOLEANCLIPPINGRESULT(.DIFFERENCE.,#90,#185);
+#198= IFCSHAPEREPRESENTATION($,'Body','Clipping',(#190));
+#199= IFCPRODUCTDEFINITIONSHAPE($,$,(#198));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_boolean_clipping_meshes(spark, tmp_path):
+    """IfcBooleanClippingResult over plane half-spaces (the boolean form
+    the reference consumes via ifcopenshell, ifcObjectGeom.py:74-130).
+
+    ROOF_C: 2x2 prism depth 2 (x,y in [-1,1], z in [0,2]) clipped by the
+      plane through (0,0,1) with axis +Z, agreement .T. (material opposite
+      the normal -> DIFFERENCE keeps z >= 1): a 2x2x1 box — surface2 =
+      2*(2*4 + 8*1) = 32, bbox z 1..2, volume 4 (mesh_volume6 = 24).
+    BEAM_CC: CHAINED clip of ROOF_C's result by the plane x = 0 with axis
+      +X, agreement .F. (material on the normal side -> keeps x <= 0):
+      a 1x2x1 box — surface2 = 2*(1*2+2*1+1*2) = 20, volume 2."""
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import mesh_volume6
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes
+
+    p = tmp_path / "clip.ifc"
+    p.write_text(IFC_CLIP_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes(ents).collect()}
+    assert set(rows) == {"ROOF_C", "BEAM_CC"}
+
+    r = rows["ROOF_C"]
+    assert r["ifc_class"] == "IFCROOF" and r["surface2"] == 32
+    assert (r["xmin"], r["xmax"], r["ymin"], r["ymax"], r["zmin"], r["zmax"]) == (
+        -1.0, 1.0, -1.0, 1.0, 1.0, 2.0
+    )
+    tris = np.frombuffer(bytes(r["tris"]), dtype=np.float32).reshape(-1, 3, 3)
+    assert mesh_volume6(tris.astype(np.float64)) == pytest.approx(24.0, abs=1e-5)
+
+    b = rows["BEAM_CC"]
+    assert b["ifc_class"] == "IFCBEAM" and b["surface2"] == 20
+    assert (b["xmin"], b["xmax"], b["ymin"], b["ymax"], b["zmin"], b["zmax"]) == (
+        -1.0, 0.0, -1.0, 1.0, 1.0, 2.0
+    )
+    tris_b = np.frombuffer(bytes(b["tris"]), dtype=np.float32).reshape(-1, 3, 3)
+    assert mesh_volume6(tris_b.astype(np.float64)) == pytest.approx(12.0, abs=1e-5)
