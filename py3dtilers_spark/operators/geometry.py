@@ -574,3 +574,92 @@ def _cap_from_segments(
         # frame is right-handed); the cap must face -nrm -> flip winding
         caps.append(cap_tris[:, ::-1, :])
     return caps
+
+
+def revolve_ring(
+    ring: np.ndarray,
+    axis_pt: np.ndarray,
+    axis_dir: np.ndarray,
+    angle: float,
+    segments: int = 32,
+) -> np.ndarray:
+    """Revolve a closed 2-D profile ring about an in-plane axis into a
+    closed triangle mesh — the IfcRevolvedAreaSolid subset of the geometry
+    the reference obtains wholesale from ifcopenshell
+    (/root/reference/py3dtilers/IfcTiler/ifcObjectGeom.py:91-112 consumes
+    the evaluated shape; IFC4 IfcRevolvedAreaSolid sweeps SweptArea about
+    Axis by Angle, the axis lying in the profile plane z=0).
+
+    ring      (N, 2) profile vertices (either winding; not crossing the axis)
+    axis_pt   (2,)  a point on the axis, profile coordinates
+    axis_dir  (2,)  axis direction, profile coordinates (normalized here)
+    angle     sweep in radians; >= 2*pi - 1e-9 closes the ring (no caps)
+    segments  facets over the swept angle
+
+    Returns (T, 3, 3) float64 triangles, outward-oriented (positive
+    mesh_volume6), degenerate (zero-area) faces removed. Raises ValueError
+    if the profile crosses the axis (invalid IFC) or inputs degenerate.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) < 3:
+        raise ValueError("revolve_ring: profile needs >= 3 vertices")
+    d = np.asarray(axis_dir, dtype=np.float64)
+    nrm = np.hypot(d[0], d[1])
+    if nrm == 0.0 or not np.isfinite(nrm):
+        raise ValueError("revolve_ring: zero/invalid axis direction")
+    d = d / nrm
+    a = np.asarray(axis_pt, dtype=np.float64)
+    # one-side requirement: signed in-plane distance from the axis line
+    side = d[0] * (ring[:, 1] - a[1]) - d[1] * (ring[:, 0] - a[0])
+    span = float(np.abs(side).max())
+    if span == 0.0:
+        raise ValueError("revolve_ring: profile collapsed onto the axis")
+    if side.min() < -1e-12 * max(span, 1.0) < 1e-12 * max(span, 1.0) < side.max():
+        raise ValueError("revolve_ring: profile crosses the revolution axis")
+
+    full = angle >= 2.0 * np.pi - 1e-9
+    segs = max(3, int(segments))
+    steps = segs if full else max(1, segs)
+    phis = (
+        np.linspace(0.0, 2.0 * np.pi, segs, endpoint=False)
+        if full
+        else np.linspace(0.0, float(angle), steps + 1)
+    )
+
+    # basis-free rotation about the 3-D line (A3 + s*D), D in the z=0 plane
+    a3 = np.array([a[0], a[1], 0.0])
+    d3 = np.array([d[0], d[1], 0.0])
+    v = np.column_stack([ring, np.zeros(len(ring))]) - a3      # (N, 3)
+    t_par = v @ d3                                             # (N,)
+    v_par = t_par[:, None] * d3[None, :]
+    v_perp = v - v_par
+    w = np.cross(np.broadcast_to(d3, v_perp.shape), v_perp)    # sweep dir
+    # grid[k, i] = profile point i rotated by phis[k]
+    cosp = np.cos(phis)[:, None, None]
+    sinp = np.sin(phis)[:, None, None]
+    grid = a3 + v_par[None] + cosp * v_perp[None] + sinp * w[None]
+
+    n = len(ring)
+    tris: list[np.ndarray] = []
+    n_steps = len(phis) if full else steps
+    for k in range(n_steps):
+        k1 = (k + 1) % len(phis)
+        p0, p1 = grid[k], grid[k1]
+        for i in range(n):
+            j = (i + 1) % n
+            tris.append([p0[i], p0[j], p1[j]])
+            tris.append([p0[i], p1[j], p1[i]])
+    if not full:
+        caps = ear_clip(ring)
+        start, end = grid[0], grid[-1]
+        for i0, i1, i2 in caps:
+            tris.append([start[i0], start[i2], start[i1]])
+            tris.append([end[i0], end[i1], end[i2]])
+    mesh = np.asarray(tris, dtype=np.float64)
+    _, dbl = triangle_normals(mesh)
+    mesh = mesh[dbl > 0]
+    # normalize to outward orientation (axis side / sweep sign / profile
+    # winding each flip it; the closed-mesh volume sign settles all three)
+    if mesh_volume6(mesh) < 0:
+        mesh = mesh[:, ::-1, :]
+    return mesh

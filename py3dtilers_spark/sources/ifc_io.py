@@ -210,6 +210,93 @@ def ifc_product_meshes(entities: DataFrame) -> DataFrame:
     Output: (entity_id, global_id, ifc_class, n_tri, surface2,
     xmin..zmax, tris binary float32 (n_tri,3,3) soup)."""
     solids = ifc_swept_solids(entities)
+    prof, ring_rows = _profile_rings(entities)
+
+    per_solid = (
+        solids.join(F.broadcast(prof), "profile_id")
+        .join(ring_rows, "curve_id", "left")
+        .select("solid_id", "depth", "ptype", "xdim", "ydim", "pos", "px", "py")
+    )
+
+    def eval_solid(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.geometry import prism_extrude
+
+        depth = float(pdf["depth"].iloc[0])
+        ring = _profile_ring_np(pdf)
+        tris = prism_extrude(ring, 0.0, depth)
+        return pd.DataFrame([_mesh_row(int(pdf["solid_id"].iloc[0]), tris)])
+
+    meshes = per_solid.groupBy("solid_id").applyInPandas(eval_solid, _MESH_SCHEMA)
+    # faceted BReps are representation items exactly like swept solids, so
+    # their meshes union straight into the same (solid_id-keyed) mesh table
+    meshes = meshes.unionByName(ifc_brep_meshes(entities))
+    # revolved solids: same representation-item contract, revolve kernel
+    meshes = meshes.unionByName(ifc_revolved_meshes(entities))
+    # boolean clipping results (plane half-space DIFFERENCE, incl. chains)
+    # are representation items too: evaluate them over the base meshes and
+    # union under their own result ids
+    meshes = meshes.unionByName(ifc_clipped_meshes(entities, meshes))
+    return ifc_product_solids(entities).join(meshes, "solid_id").select(
+        "entity_id", "global_id", "ifc_class", "n_tri", "surface2",
+        "xmin", "xmax", "ymin", "ymax", "zmin", "zmax", "tris",
+    )
+
+
+_MESH_SCHEMA = (
+    "solid_id bigint, n_tri int, surface2 bigint,"
+    " xmin double, xmax double, ymin double, ymax double,"
+    " zmin double, zmax double, tris binary"
+)
+
+
+def _mesh_row(solid_id: int, tris) -> dict:
+    """Common (n_tri, surface2, bbox, float32 soup) row off a (T,3,3) mesh."""
+    import numpy as np
+
+    from ..operators.geometry import triangle_normals
+
+    _, dbl = triangle_normals(tris)
+    flat = tris.reshape(-1, 3)
+    return {
+        "solid_id": solid_id,
+        "n_tri": len(tris),
+        "surface2": int(np.rint(dbl.sum())),
+        "xmin": float(flat[:, 0].min()),
+        "xmax": float(flat[:, 0].max()),
+        "ymin": float(flat[:, 1].min()),
+        "ymax": float(flat[:, 1].max()),
+        "zmin": float(flat[:, 2].min()),
+        "zmax": float(flat[:, 2].max()),
+        "tris": np.ascontiguousarray(tris, dtype=np.float32).tobytes(),
+    }
+
+
+def _profile_ring_np(pdf):
+    """Materialize one solid's profile ring (CCW (N,2) float64) from the
+    joined _profile_rings rows."""
+    import numpy as np
+
+    if pdf["ptype"].iloc[0] == "rect":
+        hx, hy = float(pdf["xdim"].iloc[0]) / 2.0, float(pdf["ydim"].iloc[0]) / 2.0
+        return np.array([[-hx, -hy], [hx, -hy], [hx, hy], [-hx, hy]])
+    g = pdf.sort_values("pos")
+    ring = g[["px", "py"]].to_numpy(dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]  # STEP polylines close explicitly
+    # ear clip wants CCW; IFC profiles may be stored either way
+    x, y = ring[:, 0], ring[:, 1]
+    if np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+        ring = ring[::-1]
+    return ring
+
+
+def _profile_rings(entities: DataFrame):
+    """Shared profile parsing for the swept/revolved solid evaluators:
+    (prof: profile_id -> ptype/curve_id/xdim/ydim, ring_rows: ordered
+    polyline vertices per curve)."""
     profiles = entities.withColumnRenamed("entity_id", "profile_id")
     arb = profiles.where(
         F.col("ifc_class") == "IFCARBITRARYCLOSEDPROFILEDEF"
@@ -247,69 +334,92 @@ def ifc_product_meshes(entities: DataFrame) -> DataFrame:
         "entity_id AS pt_id", "x AS px", "y AS py"
     )
     ring_rows = polys.join(pts, "pt_id").select("curve_id", "pos", "px", "py")
+    return prof, ring_rows
 
+
+def ifc_revolved_solids(entities: DataFrame) -> DataFrame:
+    """IFCREVOLVEDAREASOLID rows -> (solid_id, profile_id, axis_id, angle).
+    The Axis ref is resolved by exploding every #ref of the row and
+    equi-joining against the IFCAXIS1PLACEMENT entity set (the Position
+    slot may be ``$``, so argument position is unreliable)."""
+    rev = entities.where(F.col("ifc_class") == "IFCREVOLVEDAREASOLID").select(
+        F.col("entity_id").alias("solid_id"),
+        F.regexp_extract("args", r"^#(\d+)", 1).cast("bigint").alias("profile_id"),
+        F.regexp_extract("args", _NUM_RE, 1).cast("double").alias("angle"),
+        F.explode(
+            F.expr(r"regexp_extract_all(args, '#(\\d+)', 1)")
+        ).alias("ref_s"),
+    ).select(
+        "solid_id", "profile_id", "angle",
+        F.col("ref_s").cast("bigint").alias("axis_id"),
+    )
+    axis1 = entities.where(F.col("ifc_class") == "IFCAXIS1PLACEMENT").select(
+        F.col("entity_id").alias("axis_id"),
+        F.regexp_extract("args", r"^#(\d+)", 1).cast("bigint").alias("loc_id"),
+        F.regexp_extract("args", r"#(\d+)\s*\)?\s*$", 1)
+        .cast("bigint")
+        .alias("dir_id"),
+    )
+    return rev.join(F.broadcast(axis1), "axis_id")
+
+
+def ifc_revolved_meshes(entities: DataFrame, segments: int = 32) -> DataFrame:
+    """S3 revolved-solid evaluation (IfcRevolvedAreaSolid — another shape
+    the reference obtains wholesale from ifcopenshell,
+    /root/reference/py3dtilers/IfcTiler/ifcObjectGeom.py:91-112): the
+    profile ring is revolved about the in-plane Axis by Angle (radians)
+    with the G-kernel ``revolve_ring`` (closed watertight mesh, end caps
+    for partial sweeps). Subset: in-plane axis direction (the IFC schema
+    requires the axis to lie in the profile plane; its z component is
+    ignored), profile not crossing the axis. Output schema == the
+    swept-solid mesh table."""
+    solids = ifc_revolved_solids(entities)
+    prof, ring_rows = _profile_rings(entities)
+    dirs = entities.where(F.col("ifc_class") == "IFCDIRECTION").select(
+        F.col("entity_id").alias("dir_id"),
+        F.split(F.regexp_replace("args", r"[()\s]", ""), ",").alias("c"),
+    ).select(
+        "dir_id",
+        F.element_at("c", 1).cast("double").alias("adx"),
+        F.element_at("c", 2).cast("double").alias("ady"),
+    )
+    locs = ifc_cartesian_points(entities).selectExpr(
+        "entity_id AS loc_id", "x AS aox", "y AS aoy"
+    )
     per_solid = (
         solids.join(F.broadcast(prof), "profile_id")
+        .join(F.broadcast(locs), "loc_id")
+        .join(F.broadcast(dirs), "dir_id", "left")
         .join(ring_rows, "curve_id", "left")
-        .select("solid_id", "depth", "ptype", "xdim", "ydim", "pos", "px", "py")
+        .select(
+            "solid_id", "angle", "aox", "aoy", "adx", "ady",
+            "ptype", "xdim", "ydim", "pos", "px", "py",
+        )
     )
 
-    schema = (
-        "solid_id bigint, n_tri int, surface2 bigint,"
-        " xmin double, xmax double, ymin double, ymax double,"
-        " zmin double, zmax double, tris binary"
-    )
-
-    def eval_solid(pdf):
+    def eval_revolved(pdf):
         import numpy as np
         import pandas as pd
 
-        from ..operators.geometry import prism_extrude, triangle_normals
+        from ..operators.geometry import revolve_ring
 
-        depth = float(pdf["depth"].iloc[0])
-        if pdf["ptype"].iloc[0] == "rect":
-            hx, hy = float(pdf["xdim"].iloc[0]) / 2.0, float(pdf["ydim"].iloc[0]) / 2.0
-            ring = np.array([[-hx, -hy], [hx, -hy], [hx, hy], [-hx, hy]])
-        else:
-            g = pdf.sort_values("pos")
-            ring = g[["px", "py"]].to_numpy(dtype=np.float64)
-            if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
-                ring = ring[:-1]  # STEP polylines close explicitly
-            # ear clip wants CCW; IFC profiles may be stored either way
-            x, y = ring[:, 0], ring[:, 1]
-            if np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
-                ring = ring[::-1]
-        tris = prism_extrude(ring, 0.0, depth)
-        _, dbl = triangle_normals(tris)
-        flat = tris.reshape(-1, 3)
-        return pd.DataFrame(
-            [
-                {
-                    "solid_id": int(pdf["solid_id"].iloc[0]),
-                    "n_tri": len(tris),
-                    "surface2": int(np.rint(dbl.sum())),
-                    "xmin": float(flat[:, 0].min()),
-                    "xmax": float(flat[:, 0].max()),
-                    "ymin": float(flat[:, 1].min()),
-                    "ymax": float(flat[:, 1].max()),
-                    "zmin": float(flat[:, 2].min()),
-                    "zmax": float(flat[:, 2].max()),
-                    "tris": np.ascontiguousarray(tris, dtype=np.float32).tobytes(),
-                }
-            ]
+        ring = _profile_ring_np(pdf)
+        r0 = pdf.iloc[0]
+        # missing Direction: default to the profile-plane y axis (the IFC
+        # default Z is out-of-plane, invalid for a revolved solid)
+        adx = 0.0 if pd.isna(r0["adx"]) else float(r0["adx"])
+        ady = 1.0 if pd.isna(r0["ady"]) else float(r0["ady"])
+        tris = revolve_ring(
+            ring,
+            np.array([float(r0["aox"]), float(r0["aoy"])]),
+            np.array([adx, ady]),
+            float(r0["angle"]),
+            segments=segments,
         )
+        return pd.DataFrame([_mesh_row(int(r0["solid_id"]), tris)])
 
-    meshes = per_solid.groupBy("solid_id").applyInPandas(eval_solid, schema)
-    # faceted BReps are representation items exactly like swept solids, so
-    # their meshes union straight into the same (solid_id-keyed) mesh table
-    meshes = meshes.unionByName(ifc_brep_meshes(entities))
-    # boolean clipping results (plane half-space DIFFERENCE, incl. chains)
-    # are representation items too: evaluate them over the base meshes and
-    # union under their own result ids
-    meshes = meshes.unionByName(ifc_clipped_meshes(entities, meshes))
-    return ifc_product_solids(entities).join(meshes, "solid_id").select(
-        "entity_id", "global_id", "ifc_class", "n_tri", "surface2",
-        "xmin", "xmax", "ymin", "ymax", "zmin", "zmax", "tris",
+    return per_solid.groupBy("solid_id").applyInPandas(
+        eval_revolved, _MESH_SCHEMA
     )
 
 

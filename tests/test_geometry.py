@@ -209,3 +209,70 @@ def test_earclip_degenerate_returns_empty():
     # a healthy triangle still passes through untouched
     tri = np.array([[0, 0], [4, 0], [0, 4]], dtype=float)
     assert len(ear_clip(tri)) == 1
+
+
+def test_revolve_ring_full_and_partial():
+    """G-kernel revolve_ring: exact discretized volume, watertight closed
+    mesh, winding/orientation normalization (see test_ifc.py for the
+    IfcRevolvedAreaSolid end-to-end)."""
+    from collections import Counter
+
+    from py3dtilers_spark.operators.geometry import mesh_volume6, revolve_ring
+
+    ring = np.array([[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0]])
+    axis_pt, axis_dir = np.array([0.0, 0.0]), np.array([0.0, 1.0])
+
+    def edge_counts(mesh):
+        c = Counter()
+        for t in mesh:
+            for i in range(3):
+                e = frozenset(
+                    (tuple(np.round(t[i], 9)), tuple(np.round(t[(i + 1) % 3], 9)))
+                )
+                c[e] += 1
+        return c
+
+    for angle, s in [(2 * np.pi, 64), (np.pi / 2, 16)]:
+        m = revolve_ring(ring, axis_pt, axis_dir, angle, segments=s)
+        assert all(v == 2 for v in edge_counts(m).values())  # watertight
+        vol = mesh_volume6(m) / 6.0
+        exact = s * 0.5 * np.sin(angle / s) * (4.0 - 1.0) * 1.0
+        assert np.isclose(vol, exact, rtol=1e-9)
+        # CW input ring must produce the identical (outward) solid
+        m2 = revolve_ring(ring[::-1], axis_pt, axis_dir, angle, segments=s)
+        assert np.isclose(mesh_volume6(m2), mesh_volume6(m), rtol=1e-12)
+
+
+def test_revolve_ring_rejects_axis_crossing_and_degenerate():
+    from py3dtilers_spark.operators.geometry import revolve_ring
+
+    crossing = np.array([[-1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [-1.0, 1.0]])
+    with pytest.raises(ValueError):
+        revolve_ring(crossing, np.array([0.0, 0.0]), np.array([0.0, 1.0]), np.pi)
+    with pytest.raises(ValueError):
+        revolve_ring(crossing[:2], np.array([0.0, 0.0]), np.array([0.0, 1.0]), np.pi)
+    with pytest.raises(ValueError):
+        revolve_ring(
+            np.array([[1.0, 0.0], [2.0, 0.0], [2.0, 1.0]]),
+            np.array([0.0, 0.0]),
+            np.array([0.0, 0.0]),  # zero axis direction
+            np.pi,
+        )
+
+
+def test_revolve_ring_on_axis_points_filtered():
+    """A profile touching the axis (solid of revolution, e.g. a cone
+    profile) keeps a watertight mesh with the r=0 degenerate side faces
+    removed."""
+    from collections import Counter
+
+    from py3dtilers_spark.operators.geometry import mesh_volume6, revolve_ring
+
+    # right triangle (0,0)(1,0)(0,1) about the y axis -> a cone, apex up
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    m = revolve_ring(ring, np.array([0.0, 0.0]), np.array([0.0, 1.0]),
+                     2 * np.pi, segments=32)
+    vol = mesh_volume6(m) / 6.0
+    # discretized cone over an S-gon base: V = (1/3) * base_area * h
+    base = 32 * 0.5 * np.sin(2 * np.pi / 32)
+    assert np.isclose(vol, base / 3.0, rtol=1e-9)

@@ -371,3 +371,77 @@ def test_ifc_boolean_clipping_meshes(spark, tmp_path):
     )
     tris_b = np.frombuffer(bytes(b["tris"]), dtype=np.float32).reshape(-1, 3, 3)
     assert mesh_volume6(tris_b.astype(np.float64)) == pytest.approx(12.0, abs=1e-5)
+
+
+IFC_REVOLVE_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#30= IFCCOLUMN('COL_R',#1,'C',$,$,$,#93,$);
+#31= IFCBEAM('BEAM_Q',#1,'B',$,$,$,#97,$);
+#50= IFCCARTESIANPOINT((1.,0.));
+#51= IFCCARTESIANPOINT((2.,0.));
+#52= IFCCARTESIANPOINT((2.,1.));
+#53= IFCCARTESIANPOINT((1.,1.));
+#56= IFCPOLYLINE((#50,#51,#52,#53,#50));
+#57= IFCARBITRARYCLOSEDPROFILEDEF(.AREA.,$,#56);
+#80= IFCCARTESIANPOINT((0.,0.));
+#81= IFCDIRECTION((0.,1.));
+#82= IFCAXIS1PLACEMENT(#80,#81);
+#90= IFCREVOLVEDAREASOLID(#57,$,#82,6.283185307179586);
+#91= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#90));
+#93= IFCPRODUCTDEFINITIONSHAPE($,$,(#91));
+#95= IFCREVOLVEDAREASOLID(#57,$,#82,1.5707963267948966);
+#96= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#95));
+#97= IFCPRODUCTDEFINITIONSHAPE($,$,(#96));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_revolved_solid_meshes(spark, tmp_path):
+    """S3 revolved solids (IfcRevolvedAreaSolid): unit-square profile
+    x in [1,2], y in [0,1] revolved about the in-plane y axis.
+
+    COL_R: full turn (2*pi), S=32 facets -> closed ring, no caps:
+      n_tri = 2 * 4 edges * 32 = 256,
+      bbox x,z in [-2,2] (S even: phi=pi, 3*pi/2 are sampled), y in [0,1],
+      surface2 = 2 * (outer 32*4*sin(pi/32) + inner 32*2*sin(pi/32)
+                 + 2 annuli * 16*sin(pi/16)*3).
+    BEAM_Q: quarter turn (pi/2) -> 2*4*32 sides + 2*2 caps = 260 tris,
+      watertight; signed volume = discretized quarter washer.
+    """
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import mesh_volume6
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes
+
+    p = tmp_path / "revolve.ifc"
+    p.write_text(IFC_REVOLVE_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes(ents).collect()}
+    assert set(rows) == {"COL_R", "BEAM_Q"}
+
+    c = rows["COL_R"]
+    assert c["ifc_class"] == "IFCCOLUMN" and c["n_tri"] == 256
+    assert np.allclose(
+        [c["xmin"], c["xmax"], c["ymin"], c["ymax"], c["zmin"], c["zmax"]],
+        [-2.0, 2.0, 0.0, 1.0, -2.0, 2.0],
+    )
+    area = (
+        32 * 4 * np.sin(np.pi / 32)          # outer lateral (chord * h)
+        + 32 * 2 * np.sin(np.pi / 32)        # inner lateral
+        + 2 * 16 * np.sin(np.pi / 16) * 3.0  # two polygonal annuli
+    )
+    assert c["surface2"] == int(np.rint(2 * area))
+    tris = np.frombuffer(c["tris"], dtype=np.float32).reshape(-1, 3, 3)
+    vol_full = mesh_volume6(tris.astype(np.float64)) / 6.0
+    assert np.isclose(vol_full, 16 * np.sin(np.pi / 16) * 3.0, rtol=1e-5)
+
+    q = rows["BEAM_Q"]
+    assert q["ifc_class"] == "IFCBEAM" and q["n_tri"] == 260
+    tris_q = np.frombuffer(q["tris"], dtype=np.float32).reshape(-1, 3, 3)
+    vol_q = mesh_volume6(tris_q.astype(np.float64)) / 6.0
+    # 32 wedges over pi/2: V = S * (1/2) sin(phi/S) * (R^2-r^2) * h
+    assert np.isclose(vol_q, 32 * 0.5 * np.sin(np.pi / 64) * 3.0, rtol=1e-5)
