@@ -235,9 +235,11 @@ def ifc_product_meshes(entities: DataFrame) -> DataFrame:
     meshes = meshes.unionByName(ifc_brep_meshes(entities))
     # revolved solids: same representation-item contract, revolve kernel
     meshes = meshes.unionByName(ifc_revolved_meshes(entities))
-    # boolean clipping results (plane half-space DIFFERENCE, incl. chains)
-    # are representation items too: evaluate them over the base meshes and
-    # union under their own result ids
+    # mapped items (instanced geometry) transform already-evaluated source
+    # meshes, so they union AFTER the primitive evaluators ...
+    meshes = meshes.unionByName(ifc_mapped_meshes(entities, meshes))
+    # ... and boolean clipping results (plane half-space DIFFERENCE, incl.
+    # chains) AFTER that, so a clip can reference a mapped instance too
     meshes = meshes.unionByName(ifc_clipped_meshes(entities, meshes))
     return ifc_product_solids(entities).join(meshes, "solid_id").select(
         "entity_id", "global_id", "ifc_class", "n_tri", "surface2",
@@ -356,9 +358,12 @@ def ifc_revolved_solids(entities: DataFrame) -> DataFrame:
     axis1 = entities.where(F.col("ifc_class") == "IFCAXIS1PLACEMENT").select(
         F.col("entity_id").alias("axis_id"),
         F.regexp_extract("args", r"^#(\d+)", 1).cast("bigint").alias("loc_id"),
-        F.regexp_extract("args", r"#(\d+)\s*\)?\s*$", 1)
-        .cast("bigint")
-        .alias("dir_id"),
+        # Axis slot may be '$': the regexp then misses and yields '' — ANSI
+        # cast would throw, try_cast -> null (defaults applied in the UDF)
+        F.expr(
+            r"try_cast(regexp_extract(args, '#(\\d+)\\s*\\)?\\s*$', 1)"
+            r" AS bigint)"
+        ).alias("dir_id"),
     )
     return rev.join(F.broadcast(axis1), "axis_id")
 
@@ -421,6 +426,172 @@ def ifc_revolved_meshes(entities: DataFrame, segments: int = 32) -> DataFrame:
     return per_solid.groupBy("solid_id").applyInPandas(
         eval_revolved, _MESH_SCHEMA
     )
+
+
+def ifc_mapped_meshes(entities: DataFrame, base_meshes: DataFrame) -> DataFrame:
+    """S3 mapped-item evaluation (IfcMappedItem — IFC's geometry
+    instancing, which the reference again receives pre-expanded from
+    ifcopenshell, /root/reference/py3dtilers/IfcTiler/ifcObjectGeom.py:
+    91-112): each IFCMAPPEDITEM references an IFCREPRESENTATIONMAP (a
+    library IFCSHAPEREPRESENTATION of already-evaluable solids) plus an
+    IFCCARTESIANTRANSFORMATIONOPERATOR3D (axes rotation M, origin O,
+    uniform scale s). All source-item meshes are pulled from
+    ``base_meshes``, transformed p' = O + s*M*(O_map + p) and merged under
+    the mapped item's id — the distributed form of instancing: library
+    geometry is evaluated ONCE and broadcast-joined to its N instances.
+
+    Subset: MappingOrigin contributes its location translation only
+    (identity rotation — slot 2 axes unsupported there); operator axes
+    default to the identity basis; IfcCartesianTransformationOperator3D
+    NONUNIFORM is out of scope."""
+    mapped = entities.where(F.col("ifc_class") == "IFCMAPPEDITEM").select(
+        F.col("entity_id").alias("solid_id"),
+        F.regexp_extract("args", r"#(\d+)", 1).cast("bigint").alias("map_id"),
+        F.regexp_extract("args", r"#\d+\s*,\s*#(\d+)", 1)
+        .cast("bigint")
+        .alias("op_id"),
+    )
+    repmap = entities.where(
+        F.col("ifc_class") == "IFCREPRESENTATIONMAP"
+    ).select(
+        F.col("entity_id").alias("map_id"),
+        F.regexp_extract("args", r"#(\d+)", 1).cast("bigint").alias("map_plc_id"),
+        F.regexp_extract("args", r"#\d+\s*,\s*#(\d+)", 1)
+        .cast("bigint")
+        .alias("src_rep_id"),
+    )
+    src_items = entities.where(
+        F.col("ifc_class") == "IFCSHAPEREPRESENTATION"
+    ).select(
+        F.col("entity_id").alias("src_rep_id"),
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_extract("args", r"\(([^()]*)\)\s*$", 1), r"[#\s]", ""
+                ),
+                ",",
+            )
+        ).alias("item_s"),
+    ).select("src_rep_id", F.col("item_s").cast("bigint").alias("base_id"))
+
+    # operator slots: Axis1, Axis2, LocalOrigin, Scale[, Axis3] — every slot
+    # but the origin may be '$'
+    ops = entities.where(
+        F.col("ifc_class") == "IFCCARTESIANTRANSFORMATIONOPERATOR3D"
+    ).select(
+        F.col("entity_id").alias("op_id"),
+        F.split(F.regexp_replace("args", r"\s", ""), ",").alias("slots"),
+    ).select(
+        "op_id",
+        # Axis/Scale slots may be '$' (and slot 5 absent): regexp misses
+        # yield '' and ANSI cast throws on it — try_cast -> null instead
+        F.expr(
+            r"try_cast(regexp_extract(slots[0], '#(\\d+)', 1) AS bigint)"
+        ).alias("ax1_id"),
+        F.expr(
+            r"try_cast(regexp_extract(slots[1], '#(\\d+)', 1) AS bigint)"
+        ).alias("ax2_id"),
+        F.regexp_extract(F.element_at("slots", 3), r"#(\d+)", 1)
+        .cast("bigint")
+        .alias("org_id"),
+        F.expr("try_cast(try_element_at(slots, 4) AS double)").alias("scale"),
+        F.expr(
+            r"try_cast(regexp_extract(coalesce(try_element_at(slots, 5), ''),"
+            r" '#(\\d+)', 1) AS bigint)"
+        ).alias("ax3_id"),
+    )
+    dirs = entities.where(F.col("ifc_class") == "IFCDIRECTION").select(
+        F.col("entity_id").alias("dir_id"),
+        F.split(F.regexp_replace("args", r"[()\s]", ""), ",").alias("c"),
+    ).select(
+        "dir_id",
+        F.element_at("c", 1).cast("double").alias("vx"),
+        F.element_at("c", 2).cast("double").alias("vy"),
+        F.coalesce(F.try_element_at("c", F.lit(3)).cast("double"), F.lit(0.0))
+        .alias("vz"),
+    )
+    pts3 = ifc_cartesian_points(entities)
+
+    def dir_cols(alias, default):
+        d = dirs.select(
+            F.col("dir_id").alias(f"{alias}_id"),
+            F.col("vx").alias(f"{alias}x"),
+            F.col("vy").alias(f"{alias}y"),
+            F.col("vz").alias(f"{alias}z"),
+        )
+        return d, [
+            F.coalesce(F.col(f"{alias}{c}"), F.lit(v)).alias(f"{alias}{c}")
+            for c, v in zip("xyz", default)
+        ]
+
+    d1, c1 = dir_cols("ax1", (1.0, 0.0, 0.0))
+    d2, c2 = dir_cols("ax2", (0.0, 1.0, 0.0))
+    d3, c3 = dir_cols("ax3", (0.0, 0.0, 1.0))
+    origins = pts3.selectExpr("entity_id AS org_id", "x AS otx", "y AS oty", "z AS otz")
+    map_plc = entities.where(
+        F.col("ifc_class") == "IFCAXIS2PLACEMENT3D"
+    ).select(
+        F.col("entity_id").alias("map_plc_id"),
+        F.regexp_extract("args", r"#(\d+)", 1).cast("bigint").alias("map_loc_id"),
+    )
+    map_locs = pts3.selectExpr(
+        "entity_id AS map_loc_id", "x AS omx", "y AS omy", "z AS omz"
+    )
+    resolved = (
+        mapped.join(F.broadcast(repmap), "map_id")
+        .join(F.broadcast(ops), "op_id")
+        .join(F.broadcast(d1), "ax1_id", "left")
+        .join(F.broadcast(d2), "ax2_id", "left")
+        .join(F.broadcast(d3), "ax3_id", "left")
+        .join(F.broadcast(origins), "org_id")
+        .join(F.broadcast(map_plc), "map_plc_id", "left")
+        .join(F.broadcast(map_locs), "map_loc_id", "left")
+        .select(
+            "solid_id", "src_rep_id",
+            F.coalesce("scale", F.lit(1.0)).alias("scale"),
+            *c1, *c2, *c3,
+            "otx", "oty", "otz",
+            F.coalesce("omx", F.lit(0.0)).alias("omx"),
+            F.coalesce("omy", F.lit(0.0)).alias("omy"),
+            F.coalesce("omz", F.lit(0.0)).alias("omz"),
+        )
+    )
+    per_item = (
+        resolved.join(src_items, "src_rep_id")
+        .join(
+            base_meshes.select(
+                F.col("solid_id").alias("base_id"), F.col("tris").alias("src_tris")
+            ),
+            "base_id",
+        )
+        .drop("src_rep_id", "base_id")
+    )
+
+    def eval_mapped(pdf):
+        import numpy as np
+        import pandas as pd
+
+        r0 = pdf.iloc[0]
+        m = np.array(
+            [
+                [r0["ax1x"], r0["ax2x"], r0["ax3x"]],
+                [r0["ax1y"], r0["ax2y"], r0["ax3y"]],
+                [r0["ax1z"], r0["ax2z"], r0["ax3z"]],
+            ],
+            dtype=np.float64,
+        )
+        o_t = np.array([r0["otx"], r0["oty"], r0["otz"]], dtype=np.float64)
+        o_m = np.array([r0["omx"], r0["omy"], r0["omz"]], dtype=np.float64)
+        s = float(r0["scale"])
+        soups = [
+            np.frombuffer(b, dtype=np.float32).astype(np.float64).reshape(-1, 3, 3)
+            for b in pdf["src_tris"]
+        ]
+        pts = np.concatenate(soups, axis=0)
+        tris = o_t + s * ((pts + o_m) @ m.T)
+        return pd.DataFrame([_mesh_row(int(r0["solid_id"]), tris)])
+
+    return per_item.groupBy("solid_id").applyInPandas(eval_mapped, _MESH_SCHEMA)
 
 
 def ifc_brep_meshes(entities: DataFrame) -> DataFrame:
@@ -644,9 +815,12 @@ def ifc_boolean_clips(entities: DataFrame) -> DataFrame:
         F.regexp_extract(F.element_at("slots", 1), r"#(\d+)", 1)
         .cast("bigint")
         .alias("loc_id"),
-        F.regexp_extract(F.element_at("slots", 2), r"#(\d+)", 1)
-        .cast("bigint")
-        .alias("axis_id"),
+        # the Axis slot may be '$' (schema default +Z): regexp yields ''
+        # and ANSI cast throws on it — try_cast -> null, default downstream
+        F.expr(
+            r"try_cast(regexp_extract(try_element_at(slots, 2), '#(\\d+)', 1)"
+            r" AS bigint)"
+        ).alias("axis_id"),
     )
     dirs = entities.where(F.col("ifc_class") == "IFCDIRECTION").select(
         F.col("entity_id").alias("axis_id"),

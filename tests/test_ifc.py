@@ -445,3 +445,72 @@ def test_ifc_revolved_solid_meshes(spark, tmp_path):
     vol_q = mesh_volume6(tris_q.astype(np.float64)) / 6.0
     # 32 wedges over pi/2: V = S * (1/2) sin(phi/S) * (R^2-r^2) * h
     assert np.isclose(vol_q, 32 * 0.5 * np.sin(np.pi / 64) * 3.0, rtol=1e-5)
+
+
+IFC_MAPPED_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCWALL('INST_TS',#1,'W',$,$,$,#45,$);
+#21= IFCWALL('INST_ROT',#1,'W',$,$,$,#48,$);
+#58= IFCDIRECTION((0.,0.,1.));
+#70= IFCRECTANGLEPROFILEDEF(.AREA.,$,$,2.,4.);
+#71= IFCEXTRUDEDAREASOLID(#70,$,#58,3.);
+#72= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#71));
+#30= IFCCARTESIANPOINT((0.,0.,0.));
+#31= IFCAXIS2PLACEMENT3D(#30,$,$);
+#32= IFCREPRESENTATIONMAP(#31,#72);
+#40= IFCCARTESIANPOINT((10.,0.,0.));
+#41= IFCCARTESIANTRANSFORMATIONOPERATOR3D($,$,#40,2.);
+#42= IFCMAPPEDITEM(#32,#41);
+#44= IFCSHAPEREPRESENTATION($,'Body','MappedRepresentation',(#42));
+#45= IFCPRODUCTDEFINITIONSHAPE($,$,(#44));
+#50= IFCDIRECTION((0.,1.,0.));
+#51= IFCDIRECTION((-1.,0.,0.));
+#52= IFCCARTESIANTRANSFORMATIONOPERATOR3D(#50,#51,#30,$);
+#53= IFCMAPPEDITEM(#32,#52);
+#46= IFCSHAPEREPRESENTATION($,'Body','MappedRepresentation',(#53));
+#48= IFCPRODUCTDEFINITIONSHAPE($,$,(#46));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_mapped_item_meshes(spark, tmp_path):
+    """S3 mapped items (IfcMappedItem instancing): one library solid
+    (2 x 4 rect extruded depth 3 -> 12 tris, surface2 104, bbox
+    (-1..1, -2..2, 0..3)), two instances.
+
+    INST_TS: operator = translate (10,0,0), uniform scale 2, axes '$' ->
+      bbox (8..12, -4..4, 0..6), surface2 = 104 * 4, 12 tris.
+    INST_ROT: operator = 90-degree rotation about z (x->y, y->-x),
+      no translation, scale '$' (default 1) -> bbox (-2..2, -1..1, 0..3),
+      surface2 unchanged.
+    The library representation #72 is attached to NO product and must not
+    surface on its own."""
+    import numpy as np
+
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes
+
+    p = tmp_path / "mapped.ifc"
+    p.write_text(IFC_MAPPED_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes(ents).collect()}
+    assert set(rows) == {"INST_TS", "INST_ROT"}
+
+    t = rows["INST_TS"]
+    assert t["n_tri"] == 12
+    assert t["surface2"] == 104 * 4
+    assert np.allclose(
+        [t["xmin"], t["xmax"], t["ymin"], t["ymax"], t["zmin"], t["zmax"]],
+        [8.0, 12.0, -4.0, 4.0, 0.0, 6.0],
+    )
+
+    r = rows["INST_ROT"]
+    assert r["n_tri"] == 12
+    assert r["surface2"] == 104
+    assert np.allclose(
+        [r["xmin"], r["xmax"], r["ymin"], r["ymax"], r["zmin"], r["zmax"]],
+        [-2.0, 2.0, -1.0, 1.0, 0.0, 3.0],
+    )
