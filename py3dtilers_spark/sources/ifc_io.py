@@ -235,6 +235,8 @@ def ifc_product_meshes(entities: DataFrame) -> DataFrame:
     meshes = meshes.unionByName(ifc_brep_meshes(entities))
     # revolved solids: same representation-item contract, revolve kernel
     meshes = meshes.unionByName(ifc_revolved_meshes(entities))
+    # IFC4 tessellated geometry is already a mesh — decode it directly
+    meshes = meshes.unionByName(ifc_tfs_meshes(entities))
     # mapped items (instanced geometry) transform already-evaluated source
     # meshes, so they union AFTER the primitive evaluators ...
     meshes = meshes.unionByName(ifc_mapped_meshes(entities, meshes))
@@ -425,6 +427,81 @@ def ifc_revolved_meshes(entities: DataFrame, segments: int = 32) -> DataFrame:
 
     return per_solid.groupBy("solid_id").applyInPandas(
         eval_revolved, _MESH_SCHEMA
+    )
+
+
+def ifc_tfs_meshes(entities: DataFrame) -> DataFrame:
+    """S3 tessellated geometry (IfcTriangulatedFaceSet — IFC4's standard
+    mesh representation; the reference consumes it through ifcopenshell
+    like every other shape, ifcObjectGeom.py:91-112): CoordIndex triples
+    over an IfcCartesianPointList3D, already a triangle mesh — decode,
+    no construction needed. Faces and vertices are cogrouped per solid
+    (applyInPandasWithState-free cogroup: no F x V join blow-up).
+    Subset: PnIndex and per-face normals unsupported (normals are
+    recomputed downstream by the G7 kernel where needed); winding is
+    taken as authored."""
+    tfs = entities.where(
+        F.col("ifc_class") == "IFCTRIANGULATEDFACESET"
+    ).select(
+        F.col("entity_id").alias("solid_id"),
+        F.regexp_extract("args", r"^#(\d+)", 1).cast("bigint").alias("coord_id"),
+        "args",
+    )
+    # derived from `entities` directly (not from `tfs`) so the cogroup of
+    # verts and faces is not an ambiguous self-join on solid_id
+    faces = entities.where(
+        F.col("ifc_class") == "IFCTRIANGULATEDFACESET"
+    ).select(
+        F.col("entity_id").alias("solid_id"),
+        F.posexplode(
+            F.expr(
+                r"regexp_extract_all(args,"
+                r" '\\((\\d+\\s*,\\s*\\d+\\s*,\\s*\\d+)\\)', 1)"
+            )
+        ).alias("fpos", "tri_s"),
+    )
+    coords = entities.where(
+        F.col("ifc_class") == "IFCCARTESIANPOINTLIST3D"
+    ).select(
+        F.col("entity_id").alias("coord_id"),
+        F.posexplode(
+            F.expr(r"regexp_extract_all(args, '\\(([^()]+)\\)', 1)")
+        ).alias("vpos", "xyz_s"),
+    )
+    verts = tfs.select("solid_id", "coord_id").join(coords, "coord_id").select(
+        "solid_id",
+        "vpos",
+        F.split("xyz_s", ",").alias("c"),
+    ).select(
+        "solid_id", "vpos",
+        F.element_at("c", 1).cast("double").alias("vx"),
+        F.element_at("c", 2).cast("double").alias("vy"),
+        F.element_at("c", 3).cast("double").alias("vz"),
+    )
+
+    def assemble(vpdf, fpdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(vpdf) == 0 or len(fpdf) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "solid_id", "n_tri", "surface2", "xmin", "xmax",
+                    "ymin", "ymax", "zmin", "zmax", "tris",
+                ]
+            )
+        v = vpdf.sort_values("vpos")[["vx", "vy", "vz"]].to_numpy(np.float64)
+        idx = np.array(
+            [[int(t) for t in s.split(",")] for s in fpdf.sort_values("fpos")["tri_s"]],
+            dtype=np.int64,
+        )
+        tris = v[idx - 1]  # STEP CoordIndex is 1-based
+        return pd.DataFrame([_mesh_row(int(vpdf["solid_id"].iloc[0]), tris)])
+
+    return (
+        verts.groupBy("solid_id")
+        .cogroup(faces.groupBy("solid_id"))
+        .applyInPandas(assemble, _MESH_SCHEMA)
     )
 
 

@@ -514,3 +514,46 @@ def test_ifc_mapped_item_meshes(spark, tmp_path):
         [r["xmin"], r["xmax"], r["ymin"], r["ymax"], r["zmin"], r["zmax"]],
         [-2.0, 2.0, -1.0, 1.0, 0.0, 3.0],
     )
+
+
+IFC_TFS_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCWALL('PYR_T',#1,'W',$,$,$,#45,$);
+#10= IFCCARTESIANPOINTLIST3D(((0.,0.,0.),(1.,0.,0.),(1.,1.,0.),(0.,1.,0.),(0.5,0.5,1.)));
+#11= IFCTRIANGULATEDFACESET(#10,$,.T.,((1,3,2),(1,4,3),(1,2,5),(2,3,5),(3,4,5),(4,1,5)),$);
+#44= IFCSHAPEREPRESENTATION($,'Body','Tessellation',(#11));
+#45= IFCPRODUCTDEFINITIONSHAPE($,$,(#44));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_triangulated_face_set(spark, tmp_path):
+    """IFC4 tessellated geometry: a unit-base pyramid (apex (.5,.5,1))
+    authored as an IfcTriangulatedFaceSet with outward winding.
+    6 triangles, bbox (0..1, 0..1, 0..1), signed volume = 1/3,
+    surface2 = 2 * (base 1 + four side triangles)."""
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import mesh_volume6
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes
+
+    p = tmp_path / "tfs.ifc"
+    p.write_text(IFC_TFS_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes(ents).collect()}
+    assert set(rows) == {"PYR_T"}
+    t = rows["PYR_T"]
+    assert t["n_tri"] == 6
+    assert np.allclose(
+        [t["xmin"], t["xmax"], t["ymin"], t["ymax"], t["zmin"], t["zmax"]],
+        [0.0, 1.0, 0.0, 1.0, 0.0, 1.0],
+    )
+    tris = np.frombuffer(t["tris"], dtype=np.float32).reshape(-1, 3, 3)
+    assert np.isclose(mesh_volume6(tris.astype(np.float64)) / 6.0, 1.0 / 3.0,
+                      rtol=1e-6)
+    side = np.linalg.norm(np.cross([1.0, 0.0, 0.0], [0.5, 0.5, 1.0])) / 2.0
+    assert t["surface2"] == int(np.rint(2 * (1.0 + 4 * side)))
