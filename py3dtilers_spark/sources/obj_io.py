@@ -70,7 +70,8 @@ def read_obj_mesh(spark: SparkSession, path_glob: str) -> DataFrame:
 
     Corner refs support the 'v', 'v/t', 'v//n' and 'v/t/n' OBJ spellings
     (positive indices). Output: (file, obj_name, face_id, tri, corner,
-    px, py, pz, u, v, nx, ny, nz).
+    px, py, pz, u, v, nx, ny, nz, cr, cg, cb) — cr/cg/cb are the optional
+    'v x y z r g b' vertex colors, null when the file has none.
     """
     rdd = spark.sparkContext.wholeTextFiles(path_glob)
     raw = spark.createDataFrame(rdd, "file string, content string")
@@ -94,7 +95,9 @@ def read_obj_mesh(spark: SparkSession, path_glob: str) -> DataFrame:
         ),
     )
 
-    def _indexed(prefix: str, tag: str, ncoord: int, names: list[str]) -> DataFrame:
+    def _indexed(
+        prefix: str, tag: str, ncoord: int, names: list[str], extra=()
+    ) -> DataFrame:
         wn = Window.partitionBy("file").orderBy("pos")
         d = tagged.where(F.col("line").rlike(f"^{prefix} ")).withColumn(
             "idx", F.row_number().over(wn)  # OBJ indices are 1-based per file
@@ -106,10 +109,23 @@ def read_obj_mesh(spark: SparkSession, path_glob: str) -> DataFrame:
         # keys renamed per table: the face and index tables share lineage
         # (same scan), so unrenamed keys would be ambiguous self-join refs
         return d.select(
-            F.col("file").alias(f"{tag}_file"), F.col("idx").alias(f"{tag}_idx"), *cols
+            F.col("file").alias(f"{tag}_file"),
+            F.col("idx").alias(f"{tag}_idx"),
+            *cols,
+            *extra,
         )
 
-    verts = _indexed("v", "v", 3, ["px", "py", "pz"])
+    # optional per-vertex colors ('v x y z r g b' — the color leg of the
+    # reference's {uv,color,normal} format cross product): slots 5-7 when
+    # present, null otherwise (try_element_at + try_cast: a strict ANSI
+    # cast/index would throw on color-less vertices)
+    color_cols = [
+        F.expr(
+            f"try_cast(try_element_at(split(line, ' +'), {i}) AS DOUBLE)"
+        ).alias(name)
+        for i, name in ((5, "cr"), (6, "cg"), (7, "cb"))
+    ]
+    verts = _indexed("v", "v", 3, ["px", "py", "pz"], extra=color_cols)
     uvs = _indexed("vt", "t", 2, ["u", "v"])
     norms = _indexed("vn", "n", 3, ["nx", "ny", "nz"])
 
@@ -159,7 +175,7 @@ def read_obj_mesh(spark: SparkSession, path_glob: str) -> DataFrame:
     )
     return out.select(
         "file", "obj_name", "face_id", "tri", "corner",
-        "px", "py", "pz", "u", "v", "nx", "ny", "nz",
+        "px", "py", "pz", "u", "v", "nx", "ny", "nz", "cr", "cg", "cb",
     )
 
 

@@ -99,8 +99,8 @@ def test_read_obj_mesh_full(spark, tmp_path):
         "vn 0 0 1",
         "f 1/1/1 2/2/1 3/3/1 4/4/1",   # quad -> 2 triangles
         "o second",
-        "v 5 5 5", "v 6 5 5", "v 6 6 5",
-        "f 5 6 7",                      # bare v refs, no uv/normals
+        "v 5 5 5 0.25 0.5 1", "v 6 5 5 0.25 0.5 1", "v 6 6 5 0 0 0",
+        "f 5 6 7",                      # bare v refs + vertex colors
     ])
     p = tmp_path / "mesh.obj"
     p.write_text(obj + "\n")
@@ -119,3 +119,8 @@ def test_read_obj_mesh_full(spark, tmp_path):
     assert all(r["u"] is None and r["nz"] is None for r in second)
     assert sorted((r["px"], r["py"], r["pz"]) for r in second) == [
         (5.0, 5.0, 5.0), (6.0, 5.0, 5.0), (6.0, 6.0, 5.0)]
+    # vertex colors: present on second (the color leg of the reference's
+    # format cross product), null on the color-less first object
+    assert all(r["cr"] is None and r["cb"] is None for r in first)
+    assert sorted((r["cr"], r["cg"], r["cb"]) for r in second) == [
+        (0.0, 0.0, 0.0), (0.25, 0.5, 1.0), (0.25, 0.5, 1.0)]
