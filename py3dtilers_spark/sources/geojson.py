@@ -20,9 +20,12 @@ GEOJSON_SCHEMA = """
     properties: STRUCT<
       ID: STRING, HAUTEUR: DOUBLE, PREC_ALTI: DOUBLE, NATURE: STRING, Z_MIN: DOUBLE
     >,
-    geometry: STRUCT<type: STRING, coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>
+    geometry: STRUCT<type: STRING, coordinates: STRING>
   >>
 """
+# coordinates nesting differs per geometry type (Polygon 3 levels,
+# MultiPolygon 4), so the schema captures the raw JSON subtree as STRING
+# and from_json re-parses it per type below.
 
 
 def read_geojson(
@@ -39,15 +42,27 @@ def read_geojson(
         F.col("f.properties.NATURE").alias("nature"),
         F.coalesce(F.col("f.properties.Z_MIN"), F.lit(0.0)).alias("z_min"),
         F.col("f.geometry.type").alias("geom_type"),
+        # exterior ring: Polygon -> coordinates[0]; MultiPolygon -> the
+        # FIRST polygon's exterior, coordinates[0][0] — exactly the
+        # reference's reading (group.py:154-157, geojson_polygon.py:19-22)
+        F.expr(
+            "CASE WHEN f.geometry.type = 'MultiPolygon' THEN"
+            " try_element_at(try_element_at(from_json(f.geometry.coordinates,"
+            "   'array<array<array<array<double>>>>'), 1), 1)"
+            " ELSE try_element_at(from_json(f.geometry.coordinates,"
+            "   'array<array<array<double>>>'), 1) END"
+        ).alias("ring0"),
+    ).select(
+        "*",
         # drop the closing duplicate vertex, as the reference does
         # (group.py:155-157: coordinates[0][:-1])
         F.expr(
-            "CASE WHEN size(f.geometry.coordinates[0]) > 1"
-            " AND f.geometry.coordinates[0][0] = element_at(f.geometry.coordinates[0], -1)"
-            " THEN slice(f.geometry.coordinates[0], 1, size(f.geometry.coordinates[0]) - 1)"
-            " ELSE f.geometry.coordinates[0] END"
+            "CASE WHEN size(ring0) > 1"
+            " AND ring0[0] = element_at(ring0, -1)"
+            " THEN slice(ring0, 1, size(ring0) - 1)"
+            " ELSE ring0 END"
         ).alias("ring"),
-    )
+    ).drop("ring0")
     feats = feats.select(
         "*",
         F.expr(

@@ -45,6 +45,18 @@ def _write_geojson(path):
                 "geometry": {"type": "Polygon", "coordinates": [
                     [[20.0, 20.0], [30.0, 20.0], [25.0, 30.0], [20.0, 20.0]]]},
             },
+            {
+                "type": "Feature",
+                "properties": {"ID": "BAT4", "HAUTEUR": 7.0, "PREC_ALTI": 1.0,
+                               "NATURE": "Hangar", "Z_MIN": 100.0},
+                # MultiPolygon: the reference reads ONLY the first polygon's
+                # exterior ring (group.py:156-157 coordinates[0][0][:-1])
+                "geometry": {"type": "MultiPolygon", "coordinates": [
+                    [[[100.0, 0.0], [104.0, 0.0], [104.0, 4.0], [100.0, 4.0],
+                      [100.0, 0.0]]],
+                    [[[999.0, 999.0], [1000.0, 999.0], [1000.0, 1000.0],
+                      [999.0, 999.0]]]]},
+            },
         ],
     }
     with open(path, "w") as fh:
@@ -56,12 +68,16 @@ def test_geojson_source(spark, tmp_path):
     _write_geojson(p)
     rows = {r["feature_id"]: r for r in read_geojson(spark, p).collect()}
     # PREC_ALTI >= 9999 filtered (geojson.py:98-102)
-    assert set(rows) == {"BAT1", "BAT3"}
+    assert set(rows) == {"BAT1", "BAT3", "BAT4"}
     assert rows["BAT1"]["height"] == 12.5
     assert rows["BAT3"]["height"] == 10.0  # HAUTEUR <= 0 -> default 10
     assert abs(rows["BAT1"]["x"] - 5.0) < 1e-9  # closing vertex dropped
+    # MultiPolygon: first polygon's exterior only, closing vertex dropped
+    b4 = rows["BAT4"]
+    assert len(b4["ring"]) == 4 and abs(b4["x"] - 102.0) < 1e-9
+    assert abs(b4["y"] - 2.0) < 1e-9  # the (999,1000) polygon is ignored
     unfiltered = read_geojson(spark, p, apply_prec_filter=False).count()
-    assert unfiltered == 3
+    assert unfiltered == 4
 
 
 def test_tileset_roundtrip_and_merge(spark, sf_smoke, tmp_path):
