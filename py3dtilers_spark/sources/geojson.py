@@ -10,15 +10,42 @@ reference's defaults (HAUTEUR <= 0 -> 10, geojson.py:27,104-115) and the
 PREC_ALTI >= 9999 filter (geojson.py:98-102) applied on request."""
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+from pyspark.sql.types import ArrayType, DoubleType  # noqa: E402
+
+
+# explicit DataType (not a DDL string): a DDL returnType would be parsed at
+# import time and require an active SparkSession
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _buffer_lines(lines: pd.Series, widths: pd.Series) -> pd.Series:
+    """Line -> buffered exterior ring (the reference's LineBuffer step,
+    lineBuffer.py:47-70, via the oracle-green G5 kernel). Arrow-batched;
+    polygon rows arrive with a null line and pass through as None."""
+    import numpy as np
+
+    from ..operators.geometry import buffer_polyline
+
+    out = []
+    for line, w in zip(lines, widths):
+        if line is None or len(line) < 2:
+            out.append(None)
+            continue
+        pts = np.asarray([p[:2] for p in line], dtype=np.float64)
+        ring = buffer_polyline(pts, float(w))
+        out.append([[float(x), float(y)] for x, y in ring])
+    return pd.Series(out)
 
 GEOJSON_SCHEMA = """
   type STRING,
   features ARRAY<STRUCT<
     type: STRING,
     properties: STRUCT<
-      ID: STRING, HAUTEUR: DOUBLE, PREC_ALTI: DOUBLE, NATURE: STRING, Z_MIN: DOUBLE
+      ID: STRING, HAUTEUR: DOUBLE, PREC_ALTI: DOUBLE, NATURE: STRING,
+      Z_MIN: DOUBLE, WIDTH: DOUBLE
     >,
     geometry: STRUCT<type: STRING, coordinates: STRING>
   >>
@@ -49,13 +76,32 @@ def read_geojson(
             "CASE WHEN f.geometry.type = 'MultiPolygon' THEN"
             " try_element_at(try_element_at(from_json(f.geometry.coordinates,"
             "   'array<array<array<array<double>>>>'), 1), 1)"
-            " ELSE try_element_at(from_json(f.geometry.coordinates,"
-            "   'array<array<array<double>>>'), 1) END"
+            " WHEN f.geometry.type = 'Polygon' THEN"
+            " try_element_at(from_json(f.geometry.coordinates,"
+            "   'array<array<array<double>>>'), 1)"
+            " ELSE NULL END"
         ).alias("ring0"),
+        # line features (geojson_line.py:39-42): LineString takes the
+        # coordinates, MultiLineString the FIRST line
+        F.expr(
+            "CASE WHEN f.geometry.type = 'LineString' THEN"
+            " from_json(f.geometry.coordinates, 'array<array<double>>')"
+            " WHEN f.geometry.type = 'MultiLineString' THEN"
+            " try_element_at(from_json(f.geometry.coordinates,"
+            "   'array<array<array<double>>>'), 1)"
+            " ELSE NULL END"
+        ).alias("line"),
+        # reference width rule (geojson_line.py:26-37): positive property
+        # value, else the class default 2
+        F.expr(
+            "CASE WHEN f.properties.WIDTH IS NOT NULL AND f.properties.WIDTH > 0"
+            " THEN f.properties.WIDTH ELSE 2.0D END"
+        ).alias("line_width"),
     ).select(
         "*",
         # drop the closing duplicate vertex, as the reference does
-        # (group.py:155-157: coordinates[0][:-1])
+        # (group.py:155-157: coordinates[0][:-1]); line features get their
+        # exterior ring from the G5 buffer kernel below
         F.expr(
             "CASE WHEN size(ring0) > 1"
             " AND ring0[0] = element_at(ring0, -1)"
@@ -63,6 +109,19 @@ def read_geojson(
             " ELSE ring0 END"
         ).alias("ring"),
     ).drop("ring0")
+    # reference degenerate-line rule (geojson_line.py:44-47): a line with
+    # identical consecutive coordinates is rejected
+    feats = feats.where(
+        F.expr(
+            "line IS NULL OR NOT exists("
+            "sequence(1, size(line) - 1), i -> line[i] = line[i - 1])"
+        )
+    )
+    feats = feats.withColumn(
+        "ring",
+        F.when(F.col("line").isNotNull(), _buffer_lines("line", "line_width"))
+        .otherwise(F.col("ring")),
+    ).drop("line", "line_width")
     feats = feats.select(
         "*",
         F.expr(

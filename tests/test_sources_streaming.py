@@ -57,6 +57,30 @@ def _write_geojson(path):
                     [[[999.0, 999.0], [1000.0, 999.0], [1000.0, 1000.0],
                       [999.0, 999.0]]]]},
             },
+            {
+                "type": "Feature",
+                "properties": {"ID": "ROAD1", "HAUTEUR": 3.0, "PREC_ALTI": 1.0,
+                               "NATURE": "Route", "Z_MIN": 0.0, "WIDTH": 4.0},
+                "geometry": {"type": "LineString", "coordinates": [
+                    [0.0, 50.0], [10.0, 50.0]]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"ID": "ROAD_BAD", "HAUTEUR": 3.0, "PREC_ALTI": 1.0,
+                               "NATURE": "Route", "Z_MIN": 0.0},
+                # identical consecutive coords -> rejected (geojson_line.py:44-47)
+                "geometry": {"type": "LineString", "coordinates": [
+                    [0.0, 0.0], [0.0, 0.0], [5.0, 0.0]]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"ID": "ROAD2", "HAUTEUR": 3.0, "PREC_ALTI": 1.0,
+                               "NATURE": "Route", "Z_MIN": 0.0},
+                # MultiLineString: first line only; no WIDTH -> default 2
+                "geometry": {"type": "MultiLineString", "coordinates": [
+                    [[0.0, 80.0], [6.0, 80.0]],
+                    [[500.0, 500.0], [600.0, 600.0]]]},
+            },
         ],
     }
     with open(path, "w") as fh:
@@ -68,7 +92,7 @@ def test_geojson_source(spark, tmp_path):
     _write_geojson(p)
     rows = {r["feature_id"]: r for r in read_geojson(spark, p).collect()}
     # PREC_ALTI >= 9999 filtered (geojson.py:98-102)
-    assert set(rows) == {"BAT1", "BAT3", "BAT4"}
+    assert set(rows) == {"BAT1", "BAT3", "BAT4", "ROAD1", "ROAD2"}
     assert rows["BAT1"]["height"] == 12.5
     assert rows["BAT3"]["height"] == 10.0  # HAUTEUR <= 0 -> default 10
     assert abs(rows["BAT1"]["x"] - 5.0) < 1e-9  # closing vertex dropped
@@ -76,8 +100,19 @@ def test_geojson_source(spark, tmp_path):
     b4 = rows["BAT4"]
     assert len(b4["ring"]) == 4 and abs(b4["x"] - 102.0) < 1e-9
     assert abs(b4["y"] - 2.0) < 1e-9  # the (999,1000) polygon is ignored
+    # LineString buffered to a 4-vertex rectangle of total width WIDTH=4
+    r1 = rows["ROAD1"]
+    assert len(r1["ring"]) == 4
+    ys = sorted(pt[1] for pt in r1["ring"])
+    assert abs(ys[0] - 48.0) < 1e-9 and abs(ys[-1] - 52.0) < 1e-9
+    assert abs(r1["x"] - 5.0) < 1e-9 and abs(r1["y"] - 50.0) < 1e-9
+    # MultiLineString: first line only, default width 2
+    r2 = rows["ROAD2"]
+    ys2 = sorted(pt[1] for pt in r2["ring"])
+    assert abs(ys2[0] - 79.0) < 1e-9 and abs(ys2[-1] - 81.0) < 1e-9
+    assert abs(r2["x"] - 3.0) < 1e-9  # the (500,600) line is ignored
     unfiltered = read_geojson(spark, p, apply_prec_filter=False).count()
-    assert unfiltered == 4
+    assert unfiltered == 6  # ROAD_BAD rejected, BAT2 kept
 
 
 def test_tileset_roundtrip_and_merge(spark, sf_smoke, tmp_path):
