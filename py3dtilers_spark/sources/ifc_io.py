@@ -237,6 +237,7 @@ def ifc_product_meshes(entities: DataFrame) -> DataFrame:
     meshes = meshes.unionByName(ifc_revolved_meshes(entities))
     # IFC4 tessellated geometry is already a mesh — decode it directly
     meshes = meshes.unionByName(ifc_tfs_meshes(entities))
+    meshes = meshes.unionByName(ifc_pfs_meshes(entities))
     # mapped items (instanced geometry) transform already-evaluated source
     # meshes, so they union AFTER the primitive evaluators ...
     meshes = meshes.unionByName(ifc_mapped_meshes(entities, meshes))
@@ -427,6 +428,75 @@ def ifc_revolved_meshes(entities: DataFrame, segments: int = 32) -> DataFrame:
 
     return per_solid.groupBy("solid_id").applyInPandas(
         eval_revolved, _MESH_SCHEMA
+    )
+
+
+def ifc_pfs_meshes(entities: DataFrame) -> DataFrame:
+    """S3 tessellated geometry, n-gon flavor (IfcPolygonalFaceSet over
+    IfcIndexedPolygonalFace[WithVoids]): each face is a planar polygon
+    (optionally with hole loops) of 1-based indices into an
+    IfcCartesianPointList3D. Faces are assembled into the same
+    (solid_id, face_id, bound_id, is_outer, pos, x, y, z) row shape the
+    faceted-BRep walk produces and triangulated by the shared
+    ``_eval_planar_faces`` kernel (Newell plane -> G1/G2 ear clip).
+    PnIndex is out of scope, as for the triangulated flavor."""
+    pfs = entities.where(
+        F.col("ifc_class") == "IFCPOLYGONALFACESET"
+    ).select(
+        F.col("entity_id").alias("solid_id"),
+        F.regexp_extract("args", r"^#(\d+)", 1).cast("bigint").alias("coord_id"),
+        F.explode(
+            F.expr(r"regexp_extract_all(args, '#(\\d+)', 1)")
+        ).alias("ref_s"),
+    ).select(
+        "solid_id", "coord_id", F.col("ref_s").cast("bigint").alias("face_id")
+    )
+    # loop groups per face: group 0 is the outer ring, the rest are voids
+    # (the WithVoids inner-list wrapper adds a paren level but the innermost
+    # digit groups are exactly the loops, in STEP order)
+    face_loops = entities.where(
+        F.col("ifc_class").isin(
+            "IFCINDEXEDPOLYGONALFACE", "IFCINDEXEDPOLYGONALFACEWITHVOIDS"
+        )
+    ).select(
+        F.col("entity_id").alias("face_id"),
+        F.posexplode(
+            F.expr(r"regexp_extract_all(args, '\\((\\d[^()]*)\\)', 1)")
+        ).alias("bound_id", "loop_s"),
+    ).select(
+        "face_id", "bound_id", (F.col("bound_id") == 0).alias("is_outer"),
+        F.posexplode(F.split(F.regexp_replace("loop_s", r"\s", ""), ","))
+        .alias("pos", "idx_s"),
+    ).select(
+        "face_id", "bound_id", "is_outer", "pos",
+        F.col("idx_s").cast("bigint").alias("vidx"),
+    )
+    coords = entities.where(
+        F.col("ifc_class") == "IFCCARTESIANPOINTLIST3D"
+    ).select(
+        F.col("entity_id").alias("coord_id"),
+        F.posexplode(
+            F.expr(r"regexp_extract_all(args, '\\(([^()]+)\\)', 1)")
+        ).alias("vpos", "xyz_s"),
+    ).select(
+        "coord_id",
+        (F.col("vpos") + 1).alias("vidx"),  # STEP indices are 1-based
+        F.split("xyz_s", ",").alias("c"),
+    ).select(
+        "coord_id", "vidx",
+        F.element_at("c", 1).cast("double").alias("x"),
+        F.element_at("c", 2).cast("double").alias("y"),
+        F.element_at("c", 3).cast("double").alias("z"),
+    )
+    rows = (
+        pfs.join(face_loops, "face_id")
+        .join(coords, ["coord_id", "vidx"])
+        .select(
+            "solid_id", "face_id", "bound_id", "is_outer", "pos", "x", "y", "z"
+        )
+    )
+    return rows.groupBy("solid_id").applyInPandas(
+        _eval_planar_faces, _MESH_SCHEMA
     )
 
 
@@ -671,6 +741,104 @@ def ifc_mapped_meshes(entities: DataFrame, base_meshes: DataFrame) -> DataFrame:
     return per_item.groupBy("solid_id").applyInPandas(eval_mapped, _MESH_SCHEMA)
 
 
+def _eval_planar_faces(pdf):
+    """Shared planar-face mesh kernel (BRep faces and polygonal face
+    sets): per face, Newell-plane projection -> G1/G2 ear clip (holes via
+    inner bounds) -> lift back to 3-D; one _MESH_SCHEMA row per solid."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.geometry import (
+        ear_clip, ear_clip_with_holes, triangle_normals,
+    )
+
+    out_tris: list[np.ndarray] = []
+    for _, face in pdf.groupby("face_id"):
+        rings = []
+        outer_first = sorted(
+            face.groupby("bound_id"),
+            key=lambda kv: (not bool(kv[1]["is_outer"].iloc[0]), kv[0]),
+        )
+        for _, b in outer_first:
+            g = b.sort_values("pos")
+            rings.append(g[["x", "y", "z"]].to_numpy(dtype=np.float64))
+        ring3 = rings[0]
+        if len(ring3) < 3:
+            continue
+        # Newell normal of the outer loop -> drop the dominant axis
+        nrm = np.zeros(3)
+        for ax in range(3):
+            a, b_ = (ax + 1) % 3, (ax + 2) % 3
+            nrm[ax] = np.sum(
+                (ring3[:, a] - np.roll(ring3[:, a], -1))
+                * (ring3[:, b_] + np.roll(ring3[:, b_], -1))
+            )
+        # |Newell| = 2*face area; compare against the loop's squared
+        # extent so a collinear/sliver outer loop (zero or near-zero
+        # area at its own scale) is skipped — no plane to project onto,
+        # and the holes branch below divides by nrm[k]
+        ext = float(np.ptp(ring3, axis=0).max())
+        if not np.any(np.abs(nrm) > 1e-9 * max(ext * ext, 1e-30)):
+            continue
+        k = int(np.argmax(np.abs(nrm)))
+        u, v = [ax for ax in range(3) if ax != k]
+
+        def proj(r3):
+            return r3[:, [u, v]].copy()
+
+        ring2 = proj(ring3)
+        # ear clip wants a CCW exterior in the projected frame
+        x2, y2 = ring2[:, 0], ring2[:, 1]
+        flipped = (
+            np.sum(x2 * np.roll(y2, -1) - np.roll(x2, -1) * y2) < 0
+        )
+        if flipped:
+            ring2 = ring2[::-1]
+            ring3 = ring3[::-1]
+        if len(rings) == 1:
+            idx = ear_clip(ring2)
+            tri3 = ring3[idx]
+        else:
+            tri2 = ear_clip_with_holes(ring2, [proj(h) for h in rings[1:]])
+            if len(tri2) == 0:
+                continue
+            # lift 2-D triangles back through the plane equation
+            # n.x = n.p0 -> dropped coord = (d - nu*u - nv*v) / nk
+            d = float(nrm @ ring3[0])
+            tri3 = np.zeros(tri2.shape[:2] + (3,), dtype=np.float64)
+            tri3[:, :, u] = tri2[:, :, 0]
+            tri3[:, :, v] = tri2[:, :, 1]
+            tri3[:, :, k] = (
+                d - nrm[u] * tri2[:, :, 0] - nrm[v] * tri2[:, :, 1]
+            ) / nrm[k]
+        if len(tri3):
+            out_tris.append(tri3)
+
+    sid = int(pdf["solid_id"].iloc[0])
+    if not out_tris:
+        tris = np.empty((0, 3, 3), dtype=np.float64)
+    else:
+        tris = np.concatenate(out_tris, axis=0)
+    _, dbl = triangle_normals(tris) if len(tris) else (None, np.zeros(0))
+    flat = tris.reshape(-1, 3) if len(tris) else np.zeros((1, 3))
+    return pd.DataFrame(
+        [
+            {
+                "solid_id": sid,
+                "n_tri": int(len(tris)),
+                "surface2": int(np.rint(dbl.sum())),
+                "xmin": float(flat[:, 0].min()),
+                "xmax": float(flat[:, 0].max()),
+                "ymin": float(flat[:, 1].min()),
+                "ymax": float(flat[:, 1].max()),
+                "zmin": float(flat[:, 2].min()),
+                "zmax": float(flat[:, 2].max()),
+                "tris": np.ascontiguousarray(tris, dtype=np.float32).tobytes(),
+            }
+        ]
+    )
+
+
 def ifc_brep_meshes(entities: DataFrame) -> DataFrame:
     """S3 faceted-BRep evaluation (the other mesh source the reference gets
     wholesale from ifcopenshell — IfcFacetedBrep over IfcClosedShell faces,
@@ -742,101 +910,7 @@ def ifc_brep_meshes(entities: DataFrame) -> DataFrame:
         " zmin double, zmax double, tris binary"
     )
 
-    def eval_brep(pdf):
-        import numpy as np
-        import pandas as pd
-
-        from ..operators.geometry import (
-            ear_clip, ear_clip_with_holes, triangle_normals,
-        )
-
-        out_tris: list[np.ndarray] = []
-        for _, face in pdf.groupby("face_id"):
-            rings = []
-            outer_first = sorted(
-                face.groupby("bound_id"),
-                key=lambda kv: (not bool(kv[1]["is_outer"].iloc[0]), kv[0]),
-            )
-            for _, b in outer_first:
-                g = b.sort_values("pos")
-                rings.append(g[["x", "y", "z"]].to_numpy(dtype=np.float64))
-            ring3 = rings[0]
-            if len(ring3) < 3:
-                continue
-            # Newell normal of the outer loop -> drop the dominant axis
-            nrm = np.zeros(3)
-            for ax in range(3):
-                a, b_ = (ax + 1) % 3, (ax + 2) % 3
-                nrm[ax] = np.sum(
-                    (ring3[:, a] - np.roll(ring3[:, a], -1))
-                    * (ring3[:, b_] + np.roll(ring3[:, b_], -1))
-                )
-            # |Newell| = 2*face area; compare against the loop's squared
-            # extent so a collinear/sliver outer loop (zero or near-zero
-            # area at its own scale) is skipped — no plane to project onto,
-            # and the holes branch below divides by nrm[k]
-            ext = float(np.ptp(ring3, axis=0).max())
-            if not np.any(np.abs(nrm) > 1e-9 * max(ext * ext, 1e-30)):
-                continue
-            k = int(np.argmax(np.abs(nrm)))
-            u, v = [ax for ax in range(3) if ax != k]
-
-            def proj(r3):
-                return r3[:, [u, v]].copy()
-
-            ring2 = proj(ring3)
-            # ear clip wants a CCW exterior in the projected frame
-            x2, y2 = ring2[:, 0], ring2[:, 1]
-            flipped = (
-                np.sum(x2 * np.roll(y2, -1) - np.roll(x2, -1) * y2) < 0
-            )
-            if flipped:
-                ring2 = ring2[::-1]
-                ring3 = ring3[::-1]
-            if len(rings) == 1:
-                idx = ear_clip(ring2)
-                tri3 = ring3[idx]
-            else:
-                tri2 = ear_clip_with_holes(ring2, [proj(h) for h in rings[1:]])
-                if len(tri2) == 0:
-                    continue
-                # lift 2-D triangles back through the plane equation
-                # n.x = n.p0 -> dropped coord = (d - nu*u - nv*v) / nk
-                d = float(nrm @ ring3[0])
-                tri3 = np.zeros(tri2.shape[:2] + (3,), dtype=np.float64)
-                tri3[:, :, u] = tri2[:, :, 0]
-                tri3[:, :, v] = tri2[:, :, 1]
-                tri3[:, :, k] = (
-                    d - nrm[u] * tri2[:, :, 0] - nrm[v] * tri2[:, :, 1]
-                ) / nrm[k]
-            if len(tri3):
-                out_tris.append(tri3)
-
-        sid = int(pdf["solid_id"].iloc[0])
-        if not out_tris:
-            tris = np.empty((0, 3, 3), dtype=np.float64)
-        else:
-            tris = np.concatenate(out_tris, axis=0)
-        _, dbl = triangle_normals(tris) if len(tris) else (None, np.zeros(0))
-        flat = tris.reshape(-1, 3) if len(tris) else np.zeros((1, 3))
-        return pd.DataFrame(
-            [
-                {
-                    "solid_id": sid,
-                    "n_tri": int(len(tris)),
-                    "surface2": int(np.rint(dbl.sum())),
-                    "xmin": float(flat[:, 0].min()),
-                    "xmax": float(flat[:, 0].max()),
-                    "ymin": float(flat[:, 1].min()),
-                    "ymax": float(flat[:, 1].max()),
-                    "zmin": float(flat[:, 2].min()),
-                    "zmax": float(flat[:, 2].max()),
-                    "tris": np.ascontiguousarray(tris, dtype=np.float32).tobytes(),
-                }
-            ]
-        )
-
-    return rows.groupBy("solid_id").applyInPandas(eval_brep, schema)
+    return rows.groupBy("solid_id").applyInPandas(_eval_planar_faces, schema)
 
 
 def ifc_points_bbox(entities: DataFrame) -> DataFrame:

@@ -557,3 +557,56 @@ def test_ifc_triangulated_face_set(spark, tmp_path):
                       rtol=1e-6)
     side = np.linalg.norm(np.cross([1.0, 0.0, 0.0], [0.5, 0.5, 1.0])) / 2.0
     assert t["surface2"] == int(np.rint(2 * (1.0 + 4 * side)))
+
+
+IFC_PFS_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCWALL('CUBE_P',#1,'W',$,$,$,#45,$);
+#10= IFCCARTESIANPOINTLIST3D(((0.,0.,0.),(2.,0.,0.),(2.,2.,0.),(0.,2.,0.),(0.,0.,2.),(2.,0.,2.),(2.,2.,2.),(0.,2.,2.),(0.5,0.5,2.),(1.5,0.5,2.),(1.5,1.5,2.),(0.5,1.5,2.)));
+#11= IFCINDEXEDPOLYGONALFACE((1,4,3,2));
+#12= IFCINDEXEDPOLYGONALFACE((1,2,6,5));
+#13= IFCINDEXEDPOLYGONALFACE((2,3,7,6));
+#14= IFCINDEXEDPOLYGONALFACE((3,4,8,7));
+#15= IFCINDEXEDPOLYGONALFACE((4,1,5,8));
+#16= IFCINDEXEDPOLYGONALFACEWITHVOIDS((5,6,7,8),((9,10,11,12)));
+#17= IFCPOLYGONALFACESET(#10,.T.,(#11,#12,#13,#14,#15,#16),$);
+#44= IFCSHAPEREPRESENTATION($,'Body','Tessellation',(#17));
+#45= IFCPRODUCTDEFINITIONSHAPE($,$,(#44));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_polygonal_face_set(spark, tmp_path):
+    """IfcPolygonalFaceSet: a side-2 cube of quad n-gon faces whose top
+    carries a 1x1 void. Total area = 5 faces * 4 + (4 - 1) = 23 ->
+    surface2 = 46; bbox (0..2)^3; the 5 plain quads contribute 10
+    triangles, the holed top at least 8."""
+    import numpy as np
+
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes
+
+    p = tmp_path / "pfs.ifc"
+    p.write_text(IFC_PFS_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes(ents).collect()}
+    assert set(rows) == {"CUBE_P"}
+    c = rows["CUBE_P"]
+    assert c["surface2"] == 46
+    assert c["n_tri"] >= 18
+    assert np.allclose(
+        [c["xmin"], c["xmax"], c["ymin"], c["ymax"], c["zmin"], c["zmax"]],
+        [0.0, 2.0, 0.0, 2.0, 0.0, 2.0],
+    )
+    # every triangle must avoid the void's open interior
+    tris = np.frombuffer(c["tris"], dtype=np.float32).reshape(-1, 3, 3)
+    top = tris[np.all(np.abs(tris[:, :, 2] - 2.0) < 1e-6, axis=1)]
+    cent = top.mean(axis=1)
+    inside_void = (
+        (cent[:, 0] > 0.5) & (cent[:, 0] < 1.5)
+        & (cent[:, 1] > 0.5) & (cent[:, 1] < 1.5)
+    )
+    assert not inside_void.any()
