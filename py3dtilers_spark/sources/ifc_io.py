@@ -12,14 +12,17 @@ relationships (containment) are resolved with joins over the extracted
 (get_decomposition) re-expresses relationally.
 
 Covered subset: entity table, cartesian points (geometry bbox), products,
-spatial-containment grouping, and SWEPT-SOLID geometry evaluation
-(IfcExtrudedAreaSolid over arbitrary-closed / rectangle profiles ->
-triangle meshes + bboxes via the oracle-green G2 earclip + G3 extrude
-kernels — the subset of ifcopenshell's create_shape the reference leans on
-for walls/slabs, ifcObjectGeom.py:74-130). Full BRep (curved surfaces,
-booleans, mapped items, placement transforms) still needs the IFC schema
-engine and remains out of scope; solids are evaluated in profile-local
-coordinates.
+spatial-containment grouping, and GEOMETRY EVALUATION for the
+representations the reference gets from ifcopenshell's create_shape
+(ifcObjectGeom.py:74-130): extruded area solids, revolved area solids,
+faceted BReps, triangulated + polygonal face sets (incl. voids), boolean
+plane clips (incl. chains), mapped-item instancing, and IfcLocalPlacement
+chains resolved to world coordinates (the reference's USE_WORLD_COORDS,
+ifcObjectGeom.py:83-87) via pointer-jumped joins. ``ifc_product_meshes``
+returns placement-local meshes; ``ifc_product_meshes_world`` applies the
+resolved placements. Still out of scope: curved surfaces (B-spline,
+toroidal), BRep-vs-BRep booleans, non-uniform transformation operators,
+PnIndex indirection.
 """
 from __future__ import annotations
 
@@ -1087,3 +1090,252 @@ def ifc_clipped_meshes(
     for p in produced[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _axis2_frames(entities: DataFrame, id_alias: str) -> DataFrame:
+    """IfcAxis2Placement3D rows -> a 12-double world-frame array
+    [r00..r22, tx, ty, tz] (column-major basis X|Y|Z, then origin).
+    Z = Axis (default +z), X = RefDirection Gram-Schmidt-orthogonalized
+    against Z (default +x), Y = Z x X — the IFC schema's derived axes.
+    One Arrow-batched UDF over the (small, O(#placements)) frame table."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    plc = entities.where(
+        F.col("ifc_class") == "IFCAXIS2PLACEMENT3D"
+    ).select(
+        F.col("entity_id").alias(id_alias),
+        F.split(F.regexp_replace("args", r"\s", ""), ",").alias("slots"),
+    ).select(
+        id_alias,
+        F.regexp_extract(F.element_at("slots", 1), r"#(\d+)", 1)
+        .cast("bigint")
+        .alias("loc_id"),
+        F.expr(
+            r"try_cast(regexp_extract(try_element_at(slots, 2), '#(\\d+)', 1)"
+            r" AS bigint)"
+        ).alias("axis_id"),
+        F.expr(
+            r"try_cast(regexp_extract(try_element_at(slots, 3), '#(\\d+)', 1)"
+            r" AS bigint)"
+        ).alias("ref_id"),
+    )
+    dirs = entities.where(F.col("ifc_class") == "IFCDIRECTION").select(
+        F.col("entity_id").alias("dir_id"),
+        F.split(F.regexp_replace("args", r"[()\s]", ""), ",").alias("c"),
+    ).select(
+        "dir_id",
+        F.element_at("c", 1).cast("double").alias("dx"),
+        F.element_at("c", 2).cast("double").alias("dy"),
+        F.coalesce(F.try_element_at("c", F.lit(3)).cast("double"), F.lit(0.0))
+        .alias("dz"),
+    )
+    locs = ifc_cartesian_points(entities).selectExpr(
+        "entity_id AS loc_id", "x AS ox", "y AS oy", "z AS oz"
+    )
+    j = (
+        plc.join(F.broadcast(locs), "loc_id")
+        .join(
+            F.broadcast(dirs.selectExpr(
+                "dir_id AS axis_id", "dx AS azx", "dy AS azy", "dz AS azz"
+            )),
+            "axis_id", "left",
+        )
+        .join(
+            F.broadcast(dirs.selectExpr(
+                "dir_id AS ref_id", "dx AS arx", "dy AS ary", "dz AS arz"
+            )),
+            "ref_id", "left",
+        )
+    )
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def frame(ox, oy, oz, azx, azy, azz, arx, ary, arz):
+        import numpy as np
+
+        n = len(ox)
+        z = np.column_stack([
+            azx.fillna(0.0), azy.fillna(0.0), azz.fillna(1.0).where(
+                ~(azx.isna() & azy.isna() & azz.isna()), 1.0
+            ),
+        ]).astype(np.float64)
+        # rows with no Axis at all -> schema default +Z
+        miss_z = np.linalg.norm(z, axis=1) < 1e-12
+        z[miss_z] = [0.0, 0.0, 1.0]
+        z /= np.linalg.norm(z, axis=1)[:, None]
+        x = np.column_stack([
+            arx.fillna(1.0), ary.fillna(0.0), arz.fillna(0.0)
+        ]).astype(np.float64)
+        x -= (np.einsum("ij,ij->i", x, z))[:, None] * z
+        bad_x = np.linalg.norm(x, axis=1) < 1e-12
+        # RefDirection parallel to Axis (or absent with Axis ~ +x):
+        # fall back to whichever world axis is least aligned with Z
+        for i in np.where(bad_x)[0]:
+            cand = np.eye(3)[np.argmin(np.abs(z[i]))]
+            x[i] = cand - (cand @ z[i]) * z[i]
+        x /= np.linalg.norm(x, axis=1)[:, None]
+        y = np.cross(z, x)
+        out = []
+        for i in range(n):
+            r = np.column_stack([x[i], y[i], z[i]])  # basis as columns
+            out.append([*r.reshape(-1).tolist(),
+                        float(ox.iloc[i]), float(oy.iloc[i]), float(oz.iloc[i])])
+        return pd.Series(out)
+
+    return j.select(
+        id_alias,
+        frame("ox", "oy", "oz", "azx", "azy", "azz", "arx", "ary", "arz")
+        .alias("frame"),
+    )
+
+
+def ifc_world_placements(entities: DataFrame) -> DataFrame:
+    """IfcLocalPlacement chains resolved to world transforms:
+    (plc_id, frame [r00..r22, tx..tz]) with frame = the composition of
+    every relative placement up to the root — what ifcopenshell's
+    USE_WORLD_COORDS setting applies before the reference reads vertices
+    (ifcObjectGeom.py:83-87).
+
+    LOCALPLACEMENT(#parent|$, #axis2placement3d) rows form a forest;
+    resolution is POINTER JUMPING (the H5/components shape): each round
+    composes a node's frame with its current ancestor's and adopts the
+    ancestor's parent, so an L-deep chain resolves in ceil(log2 L) joins
+    — never a sequential walk."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    lp = entities.where(F.col("ifc_class") == "IFCLOCALPLACEMENT").select(
+        F.col("entity_id").alias("plc_id"),
+        F.expr(
+            r"try_cast(regexp_extract(split(replace(args, ' ', ''), ',')[0],"
+            r" '#(\\d+)', 1) AS bigint)"
+        ).alias("parent_id"),
+        F.expr(
+            r"try_cast(regexp_extract(split(replace(args, ' ', ''), ',')[1],"
+            r" '#(\\d+)', 1) AS bigint)"
+        ).alias("rel_frame_id"),
+    )
+    frames = _axis2_frames(entities, "rel_frame_id")
+    # frames is the same size class as lp itself — no broadcast hint;
+    # AQE picks the strategy from runtime sizes
+    cur = lp.join(frames, "rel_frame_id", "left").select(
+        "plc_id",
+        "parent_id",
+        F.coalesce(
+            "frame",
+            F.array(*[F.lit(v) for v in
+                      (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0,
+                       0.0, 0.0, 0.0)]),
+        ).alias("frame"),
+    )
+
+    # no type hints: PEP-563 stringized annotations (future import above)
+    # break pandas_udf's hint resolution here
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def compose(anc, cur_f):
+        import numpy as np
+
+        out = []
+        for a, c in zip(anc, cur_f):
+            # rows without an ancestor still reach the UDF (when() masks
+            # AFTER evaluation) — pass the current frame through
+            if a is None or c is None:
+                out.append(c if c is not None else a)
+                continue
+            ra = np.asarray(a[:9]).reshape(3, 3)
+            ta = np.asarray(a[9:])
+            rc = np.asarray(c[:9]).reshape(3, 3)
+            tc = np.asarray(c[9:])
+            r = ra @ rc
+            t = ra @ tc + ta
+            out.append([*r.reshape(-1).tolist(), *t.tolist()])
+        return pd.Series(out)
+
+    for _ in range(40):  # ceil(log2(max depth)); IFC trees are ~4-8 deep
+        if cur.where(F.col("parent_id").isNotNull()).isEmpty():
+            break
+        anc = cur.selectExpr(
+            "plc_id AS parent_id",
+            "parent_id AS gp_id",
+            "frame AS anc_frame",
+        )
+        cur = (
+            cur.join(anc, "parent_id", "left")
+            .select(
+                "plc_id",
+                F.when(F.col("anc_frame").isNotNull(), F.col("gp_id"))
+                .otherwise(F.col("parent_id"))
+                .alias("parent_id"),
+                F.when(
+                    F.col("anc_frame").isNotNull(),
+                    compose("anc_frame", "frame"),
+                )
+                .otherwise(F.col("frame"))
+                .alias("frame"),
+            )
+            .localCheckpoint(eager=True)  # iterative lineage + frame reuse
+        )
+    return cur.select("plc_id", "frame")
+
+
+def ifc_product_meshes_world(entities: DataFrame) -> DataFrame:
+    """``ifc_product_meshes`` lifted to WORLD coordinates: each product's
+    ObjectPlacement (the product ref that resolves to an
+    IfcLocalPlacement) is pointer-jump-resolved and applied to the
+    evaluated local mesh — the distributed equivalent of the reference's
+    USE_WORLD_COORDS create_shape setting (ifcObjectGeom.py:83-87).
+    Products without a placement pass through unmoved."""
+    import pandas as pd
+
+    local = ifc_product_meshes(entities)
+    prod_plc = (
+        entities.where(F.col("ifc_class").isin(*PRODUCT_CLASSES))
+        .select(
+            "entity_id",
+            F.explode(
+                F.expr(r"regexp_extract_all(args, '#(\\d+)', 1)")
+            ).alias("ref_s"),
+        )
+        .select("entity_id", F.col("ref_s").cast("bigint").alias("plc_id"))
+        .join(ifc_world_placements(entities), "plc_id")
+        .select("entity_id", "frame")
+    )
+    placed = local.join(prod_plc, "entity_id", "left")
+
+    schema = (
+        "entity_id bigint, global_id string, ifc_class string, n_tri int,"
+        " surface2 bigint, xmin double, xmax double, ymin double,"
+        " ymax double, zmin double, zmax double, tris binary"
+    )
+
+    def apply_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for _, r in pdf.iterrows():
+            rec = r.to_dict()
+            f = rec.pop("frame", None)
+            if f is not None and rec["n_tri"] > 0:
+                rot = np.asarray(f[:9]).reshape(3, 3)
+                t = np.asarray(f[9:])
+                tris = (
+                    np.frombuffer(bytes(rec["tris"]), dtype=np.float32)
+                    .astype(np.float64)
+                    .reshape(-1, 3, 3)
+                )
+                tris = tris @ rot.T + t
+                m = _mesh_row(int(rec["entity_id"]), tris)
+                m.pop("solid_id")
+                rec.update(m)
+            else:
+                rec.pop("frame", None)
+            rows.append(rec)
+        cols = [
+            "entity_id", "global_id", "ifc_class", "n_tri", "surface2",
+            "xmin", "xmax", "ymin", "ymax", "zmin", "zmax", "tris",
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return placed.mapInPandas(
+        lambda it: (apply_frame(p) for p in it), schema
+    )

@@ -610,3 +610,79 @@ def test_ifc_polygonal_face_set(spark, tmp_path):
         & (cent[:, 1] > 0.5) & (cent[:, 1] < 1.5)
     )
     assert not inside_void.any()
+
+
+IFC_WORLD_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCWALL('W_PLACED',#1,'W',$,$,#120,#73,$);
+#22= IFCSLAB('S_LOCAL',#1,'S',$,$,$,#73,$,.FLOOR.);
+#58= IFCDIRECTION((0.,0.,1.));
+#70= IFCRECTANGLEPROFILEDEF(.AREA.,$,$,2.,4.);
+#71= IFCEXTRUDEDAREASOLID(#70,$,#58,3.);
+#72= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#71));
+#73= IFCPRODUCTDEFINITIONSHAPE($,$,(#72));
+#100= IFCCARTESIANPOINT((100.,0.,0.));
+#101= IFCAXIS2PLACEMENT3D(#100,$,$);
+#102= IFCLOCALPLACEMENT($,#101);
+#110= IFCCARTESIANPOINT((0.,50.,0.));
+#111= IFCDIRECTION((0.,0.,1.));
+#112= IFCDIRECTION((0.,1.,0.));
+#113= IFCAXIS2PLACEMENT3D(#110,#111,#112);
+#114= IFCLOCALPLACEMENT(#102,#113);
+#115= IFCCARTESIANPOINT((0.,0.,7.));
+#116= IFCAXIS2PLACEMENT3D(#115,$,$);
+#120= IFCLOCALPLACEMENT(#114,#116);
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_world_placement(spark, tmp_path):
+    """IfcLocalPlacement chain resolved to world coordinates (the
+    reference's USE_WORLD_COORDS, ifcObjectGeom.py:83-87).
+
+    Chain: root translate (100,0,0) -> child translate (0,50,0) with a
+    90-degree z-rotation (RefDirection = +y, so local x -> world y) ->
+    leaf translate (0,0,7) in the rotated frame.
+    Local solid bbox (-1..1, -2..2, 0..3). World: rotation maps
+    (x,y,z) -> (-y,x,z); leaf offset (0,0,7) rotates to itself; so bbox
+    x = 100 + (-2..2) rotated: local y (-2..2) -> world -y? Work through
+    the composition in the assert values below. S_LOCAL has no placement
+    and must stay at its local bbox."""
+    import numpy as np
+
+    from py3dtilers_spark.sources.ifc_io import ifc_product_meshes_world
+
+    p = tmp_path / "world.ifc"
+    p.write_text(IFC_WORLD_TEXT)
+    ents = ifc_entities(spark, str(p))
+    rows = {r["global_id"]: r for r in ifc_product_meshes_world(ents).collect()}
+    assert set(rows) == {"W_PLACED", "S_LOCAL"}
+
+    s = rows["S_LOCAL"]
+    assert (s["xmin"], s["xmax"], s["ymin"], s["ymax"], s["zmin"], s["zmax"]) == (
+        -1.0, 1.0, -2.0, 2.0, 0.0, 3.0
+    )
+    assert s["surface2"] == 104 and s["n_tri"] == 12
+
+    w = rows["W_PLACED"]
+    # compose: root T1=(100,0,0) identity; mid: R = rot90z (x->y), T=(0,50,0);
+    # leaf local T=(0,0,7) => world origin = T1 + R? chain order:
+    # world = F102 ∘ F114 ∘ F120 applied to local points.
+    # F120: p -> p + (0,0,7)
+    # F114: p -> Rz90 @ p + (0,50,0)   (x_axis = +y)
+    # F102: p -> p + (100,0,0)
+    # local bbox corners (x,y,z) in (-1..1,-2..2,0..3):
+    # after F120: z in 7..10
+    # after F114: (x,y) -> (-y, x): x in -2..2 -> wait Rz90: X axis=(0,1,0),
+    # Y = Z x X = (-1,0,0): p' = x*(0,1,0)+y*(-1,0,0)+z*(0,0,1) = (-y, x, z)
+    # x' in (-2..2) from y, y' in (-1..1) from x; + (0,50,0) -> y' 49..51
+    # after F102: x' 98..102
+    assert np.allclose(
+        [w["xmin"], w["xmax"], w["ymin"], w["ymax"], w["zmin"], w["zmax"]],
+        [98.0, 102.0, 49.0, 51.0, 7.0, 10.0],
+    )
+    assert w["surface2"] == 104 and w["n_tri"] == 12  # rigid: area preserved
