@@ -686,3 +686,40 @@ def test_ifc_world_placement(spark, tmp_path):
         [98.0, 102.0, 49.0, 51.0, 7.0, 10.0],
     )
     assert w["surface2"] == 104 and w["n_tri"] == 12  # rigid: area preserved
+
+
+def test_ifc_world_placement_deep_chain(spark, tmp_path):
+    """Pointer jumping must resolve a deep placement chain (depth 20 —
+    beyond any real IFC tree) in logarithmic rounds: each level
+    translates by (1, 2, 0), so the leaf's world origin offset is
+    (20, 40, 0)."""
+    import numpy as np
+
+    from py3dtilers_spark.sources.ifc_io import ifc_entities as ents_fn
+    from py3dtilers_spark.sources.ifc_io import ifc_world_placements
+
+    depth = 20
+    lines = ["ISO-10303-21;", "HEADER;FILE_SCHEMA(('IFC4'));", "ENDSEC;",
+             "DATA;"]
+    prev = None
+    for i in range(depth):
+        pt, plc, lp = 1000 + 3 * i, 1001 + 3 * i, 1002 + 3 * i
+        lines.append(f"#{pt}= IFCCARTESIANPOINT((1.,2.,0.));")
+        lines.append(f"#{plc}= IFCAXIS2PLACEMENT3D(#{pt},$,$);")
+        parent = f"#{prev}" if prev is not None else "$"
+        lines.append(f"#{lp}= IFCLOCALPLACEMENT({parent},#{plc});")
+        prev = lp
+    lines += ["ENDSEC;", "END-ISO-10303-21;"]
+    p = tmp_path / "deep.ifc"
+    p.write_text("\n".join(lines) + "\n")
+    frames = {
+        r["plc_id"]: r["frame"]
+        for r in ifc_world_placements(ents_fn(spark, str(p))).collect()
+    }
+    leaf = frames[prev]
+    assert np.allclose(leaf[9:], [depth * 1.0, depth * 2.0, 0.0])
+    assert np.allclose(np.asarray(leaf[:9]).reshape(3, 3), np.eye(3))
+    # every intermediate level resolved too
+    mid = frames[1002 + 3 * (depth // 2)]
+    assert np.allclose(mid[9:], [(depth // 2 + 1) * 1.0,
+                                 (depth // 2 + 1) * 2.0, 0.0])
