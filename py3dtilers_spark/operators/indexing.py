@@ -39,6 +39,16 @@ def dense_index(
         ranged.withColumn("_pid", F.spark_partition_id())
         .withColumn("_rn", F.row_number().over(w))
     )
+    # `local` feeds two consumers (counts -> offsets, and the final join).
+    # The range exchange samples its bounds per physical execution and
+    # spark_partition_id is nondeterministic, so if the optimizer does NOT
+    # unify both subtrees into one ReusedExchange each consumer can see a
+    # DIFFERENT partitioning and the _pid values no longer line up across
+    # the join — silently wrong dense ids (the exact failure observed and
+    # fixed in kd_rank._rank_step). Materialize once so every consumer
+    # reads the same partitioning; regression-pinned by
+    # tests/test_indexing.py::test_dense_index_consumers_agree.
+    local = local.localCheckpoint(eager=True)
     # exclusive prefix sum over per-partition counts: #partitions rows (a
     # handful of longs), computed as a triangular self-join instead of an
     # un-partitioned window — O(P^2) on P = #shuffle partitions is free,

@@ -1,6 +1,8 @@
-"""Range-partitioned exact-rank kd splits (round-5 candidate, prototype).
+"""Range-partitioned exact-rank kd splits (the exact kd path since round 5;
+``kd_tree.kd_assign(exact=True)`` delegates here).
 
-Same semantics as ``kd_tree.kd_assign(exact=True)`` — the reference 2-D
+Same semantics as the round-4 window-only path
+(``kd_tree._kd_exact_window``, retained as the parity twin) — the reference 2-D
 kd-tree (/root/reference/py3dtilers/Common/kd_tree.py:4-42) with the
 documented id tie-break — but the shallow split levels are computed with
 the ``indexing.dense_index`` range-partition + prefix-sum shape instead of
@@ -26,9 +28,9 @@ naturally and keep the original window step. The crossover is a constant:
 the rank path covers exactly the levels where per-cell windows cannot
 parallelize, the window path covers the levels where they trivially do.
 
-Kept OUT of the registry/tiler this round only because kd_tree.py was
-fingerprint-frozen once scaling chain v22 certified (BENCH/BASELINE.md);
-parity with the frozen path is pinned by tests/test_kd_rank.py.
+Wired into ``kd_assign``/the tiler in round 5 (the round-4 fingerprint
+freeze kept it out of chain v22's job path); parity with the window-only
+path AND the Python oracle is pinned by tests/test_kd_rank.py.
 """
 from __future__ import annotations
 

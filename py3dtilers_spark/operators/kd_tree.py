@@ -45,19 +45,37 @@ def kd_assign(
 ) -> DataFrame:
     """Assign each row a kd-leaf ``tile_id`` path bitstring.
 
-    Exact mode is HYBRID: distributed exact-median window splits run only
-    until every live cell fits ``local_cap`` rows (executor-memory sized);
-    each such cell is then finished in a single applyInPandas task running
-    the identical recursion locally. Total distributed levels =
+    Exact mode is HYBRID: distributed exact-median splits run only until
+    every live cell fits ``local_cap`` rows (executor-memory sized); each
+    such cell is then finished in a single applyInPandas task running the
+    identical recursion locally. Total distributed levels =
     log2(N / local_cap) (e.g. ~22 for 10^12 rows at cap 200k) instead of
     log2(N / kd_tree_max); the local phase is embarrassingly parallel.
+
+    Since round 5 the shallow split levels use the range-partitioned
+    exact-rank step (operators/kd_rank.py): at depth 0-1 a
+    ``Window.partitionBy("tile_id")`` key is (nearly) constant, Catalyst
+    constant-folds it away and the whole dataset flows through ONE
+    WindowExec task — measured 2.6x slower at 5M rows and unbounded in N
+    (BENCH/BASELINE.md round-5 notes). The rank step keeps every level a
+    normal shuffle; deep levels (many small cells) keep the window step,
+    which hash-partitions well there. Parity of both paths with the
+    Python oracle is pinned by tests/test_kd_rank.py.
     """
     if exact:
-        return _kd_exact(df, kd_tree_max, id_col, x_col, y_col, local_cap)
+        from .kd_rank import kd_assign_rank
+
+        return kd_assign_rank(
+            df, kd_tree_max, id_col=id_col, x_col=x_col, y_col=y_col,
+            local_cap=local_cap,
+        )
     return _kd_approx(df, kd_tree_max, x_col, y_col)
 
 
-def _kd_exact(df, kd_tree_max, id_col, x_col, y_col, local_cap):
+def _kd_exact_window(df, kd_tree_max, id_col, x_col, y_col, local_cap):
+    """Round-4 window-only exact path, retained as the independent parity
+    twin for tests/test_kd_rank.py (NOT in the job path: its depth-0/1
+    window partitions by a constant key -> single-task WindowExec)."""
     local_cap = max(local_cap, 2 * kd_tree_max + 1)
     cur = df.withColumn("tile_id", F.lit(""))
     out_schema = cur.schema

@@ -1,11 +1,13 @@
-"""Parity of the range-partitioned rank kd splits (operators/kd_rank.py)
-with the frozen exact path and the pure-Python reference oracle."""
+"""Parity of the range-partitioned rank kd splits (operators/kd_rank.py —
+the `kd_assign(exact=True)` path since round 5) with the retained
+window-only twin (`kd_tree._kd_exact_window`) and the pure-Python
+reference oracle."""
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from py3dtilers_spark.operators.kd_rank import kd_assign_rank
-from py3dtilers_spark.operators.kd_tree import kd_assign, kd_oracle
+from py3dtilers_spark.operators.kd_tree import _kd_exact_window, kd_oracle
 
 
 def _random_points(n, seed):
@@ -30,11 +32,13 @@ def test_rank_matches_oracle_and_frozen_path(spark, seed, n, kd_max):
     }
     want = kd_oracle(pts, kd_max)
     assert got == want
-    frozen = {
+    window_twin = {
         r["image_id"]: r["tile_id"]
-        for r in kd_assign(df, kd_max, exact=True, local_cap=256).collect()
+        for r in _kd_exact_window(
+            df, kd_max, "image_id", "x", "y", 256
+        ).collect()
     }
-    assert got == frozen
+    assert got == window_twin
 
 
 def test_rank_root_split_is_distributed(spark):

@@ -60,6 +60,34 @@ def test_run_clean_v2_colocated_gate():
     assert not rc.run_clean({**canary, "p10": 30.0}, colo_ok)
 
 
+def test_run_clean_v3_storage_gate(tmp_path):
+    canary = {"n": 20, "med": 70.0, "p10": 60.0, "min": 50.0, "max": 80.0,
+              "span": 0.95}
+    colo_ok = {"n": 12, "span": 0.9, "cpu_med": 0.053, "cpu_p90": 0.060,
+               "steal_mean": 0.01, "steal_p90": 0.05}
+    io_ok = {"n": 10, "span": 0.85, "fsync_med": 9.0, "fsync_p90": 120.0,
+             "fsync_max": 400.0}
+    assert rc.run_clean(canary, colo_ok, io_ok)
+    # v22 failure mode: sustained device throttle inflates the fsync MEDIAN
+    assert not rc.run_clean(canary, colo_ok, {**io_ok, "fsync_med": 80.0})
+    # probe died / sparse coverage
+    assert not rc.run_clean(canary, colo_ok, {**io_ok, "n": 2})
+    assert not rc.run_clean(canary, colo_ok, {**io_ok, "span": 0.3})
+    # a healthy job's own sink bursts contaminate p90/max — must NOT trip
+    assert rc.run_clean(canary, colo_ok, {**io_ok, "fsync_p90": 456.0,
+                                          "fsync_max": 999.0})
+    # the storage gate cannot rescue a dirty CPU probe
+    assert not rc.run_clean(canary, {**colo_ok, "cpu_med": 0.075}, io_ok)
+    # io_stats summarizer: median over the window
+    p = str(tmp_path / "io.jsonl")
+    with open(p, "w") as fh:
+        for i, ms in enumerate([5.0, 7.0, 9.0, 11.0, 300.0]):
+            fh.write(json.dumps({"t": 1000.0 + i * 6.0, "fsync_ms": ms,
+                                 "util": 0.1, "await_ms": 2.0}) + "\n")
+    s = rc.io_stats(p, 1000.0, 1024.0)
+    assert s["n"] == 5 and s["fsync_med"] == 9.0 and s["span"] >= 0.99
+
+
 def _chain(chain_id, clean, fp, n_est=3, cores=(1, 4), copies=3, n_rows=100,
            gate_version=rc.GATE_VERSION):
     return {

@@ -52,6 +52,26 @@ contention (the co-located regime) med 0.0528 / p90 0.0562 s; job-CPU
 steal in an ordinary window mean ~0.02. The gates still read ONLY host
 state — never the job's own efficiency — so no outcome-based selection is
 possible.
+
+GATE v3 — DECLARED 2026-08-18 (round 5) BEFORE ANY v3 CHAIN RAN, from the
+round-4 calibration recorded after v22 certified (BENCH/BASELINE.md
+"Round-5 candidates" + BENCH/io_calib_windows.jsonl). Round-4 residual:
+one certified hi run stretched ~25% with idle-level cpu_tile and zero
+steal — the JVM was blocked on STORAGE (shared-VM disk throttling),
+invisible to both CPU probes. v3 adds a co-located storage probe
+(tools/io_probe.py, 64 KiB incompressible write + fsync every
+IO_INTERVAL s on the same filesystem as the job's input/spill, plus
+/proc/diskstats deltas for its backing device) and gates on the fsync
+MEDIAN only: per the calibration, fsync p90/max are contaminated by the
+job's OWN healthy tile-sink bursts (idle med 6.6 ms but p90 215 ms DURING
+a healthy run), while the median moves only 6.6 -> 8.8 ms under a healthy
+job and sits in 1.4-20.5 ms across all 24 ambient windows; a sustained
+host throttle pushes it to tens-hundreds of ms. Declared thresholds:
+  io probe: n >= IO_MIN_SAMPLES spanning >= IO_MIN_SPAN of the run,
+      fsync_ms median <= IO_FSYNC_MED_MAX (= 40 ms — 2x above every
+      ambient window, far below a sustained-throttle signature).
+The signal is host-state only (identical probe load at every parallelism
+level, ~0.001% of device bandwidth) — no outcome selection possible.
 """
 from __future__ import annotations
 
@@ -80,7 +100,7 @@ CANARY_MIN_SPAN = 0.70
 # gate v2: co-located probe thresholds (see module docstring; calibration
 # in BENCH/BASELINE.md "Gate v2" — contended-healthy cpu_tile med 0.0528 /
 # p90 0.0562 s, ~25-40% headroom before the gate trips)
-GATE_VERSION = 2
+GATE_VERSION = 3
 COLO_INTERVAL = 6.0
 COLO_TILES = 2
 COLO_CPU_MED_MAX = 0.066
@@ -89,6 +109,13 @@ COLO_STEAL_MEAN_MAX = 0.05
 COLO_STEAL_P90_MAX = 0.15
 COLO_MIN_SAMPLES = 5
 COLO_MIN_SPAN = 0.60
+
+# gate v3: co-located storage probe thresholds (module docstring; declared
+# round 5 from the round-4 calibration BEFORE any v3 chain ran)
+IO_INTERVAL = 6.0
+IO_FSYNC_MED_MAX = 40.0  # ms
+IO_MIN_SAMPLES = 5
+IO_MIN_SPAN = 0.60
 
 CHAINS_LOG = os.path.join(REPO, "BENCH", "scaling_chains.jsonl")
 RUNS_LOG = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
@@ -99,6 +126,7 @@ CANARY_DIR = os.path.join(REPO, "BENCH", "canary")
 _JOB_FILES = [
     "py3dtilers_spark/plans/tiler_job.py",
     "py3dtilers_spark/operators/kd_tree.py",
+    "py3dtilers_spark/operators/kd_rank.py",
     "py3dtilers_spark/operators/hierarchy.py",
     "py3dtilers_spark/operators/indexing.py",
     "py3dtilers_spark/functions/imaging.py",
@@ -186,25 +214,60 @@ def colo_stats(path: str, t0: float, t1: float) -> dict:
     }
 
 
-def run_clean(c: dict, colo: dict | None = None) -> bool:
-    """Gate v2: reserved canary AND co-located probe must both be clean."""
+def io_stats(path: str, t0: float, t1: float) -> dict:
+    """Summarize the storage-probe series over [t0, t1] (gate v3)."""
+    fs, span_lo, span_hi = [], None, None
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if not (t0 <= rec["t"] <= t1):
+                    continue
+                fs.append(rec["fsync_ms"])
+                span_lo = rec["t"] if span_lo is None else span_lo
+                span_hi = rec["t"]
+    except OSError:
+        pass
+    dur = max(t1 - t0, 1e-9)
+    span = ((span_hi - span_lo) / dur) if fs and span_hi is not None else 0.0
+    return {
+        "n": len(fs),
+        "fsync_med": round(statistics.median(fs), 3) if fs else 0.0,
+        "fsync_p90": round(_pctl(fs, 0.90), 3) if fs else 0.0,
+        "fsync_max": round(max(fs), 3) if fs else 0.0,
+        "span": round(span, 3),
+    }
+
+
+def run_clean(c: dict, colo: dict | None = None, io: dict | None = None) -> bool:
+    """Gate v3: reserved canary AND co-located CPU probe AND co-located
+    storage probe must all be clean (probes absent -> judged on the rest,
+    for direct callers that predate them)."""
     canary_ok = (
         c["n"] >= CANARY_MIN_SAMPLES
         and c["span"] >= CANARY_MIN_SPAN
         and c["med"] >= CANARY_MED_MIN
         and c["p10"] >= CANARY_P10_MIN
     )
-    if colo is None:
-        return canary_ok
-    colo_ok = (
-        colo["n"] >= COLO_MIN_SAMPLES
-        and colo["span"] >= COLO_MIN_SPAN
-        and colo["cpu_med"] <= COLO_CPU_MED_MAX
-        and colo["cpu_p90"] <= COLO_CPU_P90_MAX
-        and colo["steal_mean"] <= COLO_STEAL_MEAN_MAX
-        and colo["steal_p90"] <= COLO_STEAL_P90_MAX
-    )
-    return canary_ok and colo_ok
+    if colo is not None:
+        canary_ok = canary_ok and (
+            colo["n"] >= COLO_MIN_SAMPLES
+            and colo["span"] >= COLO_MIN_SPAN
+            and colo["cpu_med"] <= COLO_CPU_MED_MAX
+            and colo["cpu_p90"] <= COLO_CPU_P90_MAX
+            and colo["steal_mean"] <= COLO_STEAL_MEAN_MAX
+            and colo["steal_p90"] <= COLO_STEAL_P90_MAX
+        )
+    if io is not None:
+        canary_ok = canary_ok and (
+            io["n"] >= IO_MIN_SAMPLES
+            and io["span"] >= IO_MIN_SPAN
+            and io["fsync_med"] <= IO_FSYNC_MED_MAX
+        )
+    return canary_ok
 
 
 def run_with_canary(
@@ -236,6 +299,17 @@ def run_with_canary(
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
+    # gate-v3 storage probe: fsync latency on the filesystem holding the
+    # job's INPUT (and Spark's local/spill dirs) — the real disk; the tile
+    # sink itself targets /dev/shm, which has no device to throttle
+    io_file = canary_file.replace(".jsonl", "_io.jsonl")
+    io_p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "io_probe.py"),
+         "probe", io_file, os.path.dirname(input_path) or tempfile.gettempdir(),
+         str(IO_INTERVAL)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
     out = os.path.join(out_root, f"c{cores}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -254,12 +328,12 @@ def run_with_canary(
         # ProcessLookupError once communicate() has reaped the leader, which
         # would leave its still-live grandchildren (JVM, forked workers)
         # unsignalled — the orphan class that poisons later runs in the chain
-        for p in (can, colo, run_p):
+        for p in (can, colo, io_p, run_p):
             try:
                 os.killpg(p.pid, signal.SIGTERM)
             except (ProcessLookupError, PermissionError, OSError):
                 pass
-        for p in (can, colo):
+        for p in (can, colo, io_p):
             try:
                 p.wait(timeout=30)
             except Exception:
@@ -274,7 +348,9 @@ def run_with_canary(
     # the run's wall clock INCLUDES startup, so the window gate covers it too
     c = canary_stats(canary_file, t0, t1)
     co = colo_stats(colo_file, t0, t1)
-    rec = {"run": run, "canary": c, "colo": co, "clean": run_clean(c, co),
+    io = io_stats(io_file, t0, t1)
+    rec = {"run": run, "canary": c, "colo": co, "io": io,
+           "clean": run_clean(c, co, io),
            "t0": round(t0, 1), "t1": round(t1, 1),
            "canary_file": os.path.relpath(canary_file, REPO)}
     try:
@@ -378,6 +454,9 @@ def run_chain(
             "colo_cpu_p90_max": COLO_CPU_P90_MAX,
             "colo_steal_mean_max": COLO_STEAL_MEAN_MAX,
             "colo_steal_p90_max": COLO_STEAL_P90_MAX,
+            "io_fsync_med_max": IO_FSYNC_MED_MAX,
+            "io_min_samples": IO_MIN_SAMPLES,
+            "io_min_span": IO_MIN_SPAN,
         },
         "runs": runs,
         "estimates": estimates,
