@@ -100,13 +100,31 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where((F.size("ids") > 1) & (F.size("ids") <= F.lit(MAX_BUCKET)))
     )
-    pairs = buckets.selectExpr(
-        "inline(flatten(transform(sequence(0, size(ids) - 2), "
-        "i -> transform(sequence(i + 1, size(ids) - 1), "
-        "j -> struct(element_at(ids, i + 1) AS doc_a, element_at(ids, j + 1) AS doc_b)))))"
-    )
+    pairs = bucket_pairs(buckets, "doc_a", "doc_b")
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
+    )
+
+
+def bucket_pairs(buckets: DataFrame, a_col: str, b_col: str,
+                 ids_col: str = "ids") -> DataFrame:
+    """All ordered in-bucket pairs (id[i], id[j]), i < j, expanded in TWO
+    chained generators: posexplode anchors each id, then explode slices the
+    tail. No intermediate row ever holds more than ONE bucket's id array
+    (<= the caller's bucket cap) — versus the single inline(flatten(...))
+    all-pairs array, whose C(n,2) structs in one row OOM an executor right
+    at the advertised cap (the round-4 scale hazard this replaces). Both
+    generators pipeline inside one whole-stage-codegen task: pairs stream
+    out row-by-row, nothing quadratic is ever materialized per-row."""
+    return (
+        buckets.selectExpr(
+            f"{ids_col} AS _ids", f"posexplode({ids_col}) AS (_i, {a_col})"
+        )
+        .where(F.expr("_i < size(_ids) - 1"))
+        .selectExpr(
+            a_col,
+            f"explode(slice(_ids, _i + 2, size(_ids) - _i - 1)) AS {b_col}",
+        )
     )
 
 

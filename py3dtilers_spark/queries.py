@@ -495,12 +495,13 @@ def q_ngram_jaccard(spark, sf_dir):
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where((F.size("ids") > 1) & (F.size("ids") <= F.lit(_JACCARD_DF_CAP)))
     )
+    from .operators.dedup import bucket_pairs
+
+    # segmented in-bucket pair expansion (operators/dedup.py bucket_pairs):
+    # streams pairs through two chained generators, never materializing a
+    # bucket's C(n,2) pair array in one row
     inter = (
-        buckets.selectExpr(
-            "inline(flatten(transform(sequence(0, size(ids) - 2), "
-            "i -> transform(sequence(i + 1, size(ids) - 1), "
-            "j -> struct(element_at(ids, i + 1) AS doc_a, element_at(ids, j + 1) AS doc_b)))))"
-        )
+        bucket_pairs(buckets, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -926,6 +927,13 @@ QUERIES: dict[str, tuple] = {
 }
 
 
+# pHash band-bucket cap: a bucket larger than this is a degenerate band
+# value (constant bands of near-uniform images) whose quadratic pair
+# expansion dominates at scale — dropped in BOTH engines (same pattern as
+# minhash MAX_BUCKET / _JACCARD_DF_CAP). No-op at sandbox scale.
+_PHASH_MAX_BUCKET = 10_000
+
+
 def q_phash_near_dup(spark, sf_dir):
     """Image near-dup by perceptual-hash hamming distance <= 3, at scale:
     pigeonhole band blocking — split the 64-bit phash into 4 x 16-bit
@@ -939,6 +947,17 @@ def q_phash_near_dup(spark, sf_dir):
         "image_id || '_j' AS image_id", "phash ^ 5 AS phash", "l_orderkey"
     )
     allv = feats.unionByName(jit).select("image_id", "phash")
+    return phash_band_pairs(allv)
+
+
+def phash_band_pairs(allv, max_bucket: int = _PHASH_MAX_BUCKET):
+    """Banded pHash candidate pairs with the bucket-size cap. A hot 16-bit
+    band (the constant bands of near-black images, which real corpora have
+    in bulk) otherwise expands quadratically — same guard as minhash
+    MAX_BUCKET / _JACCARD_DF_CAP, mirrored in the oracle; pair expansion is
+    the segmented bucket_pairs kernel (never a per-row pair array)."""
+    from .operators.dedup import bucket_pairs
+
     bands = allv.selectExpr(
         "image_id", "phash",
         "posexplode(array("
@@ -947,16 +966,24 @@ def q_phash_near_dup(spark, sf_dir):
         "  shiftright(phash, 32) & 65535,"
         "  shiftright(phash, 48) & 65535)) AS (band, bkey)",
     )
-    a = bands.selectExpr("band", "bkey", "image_id AS id_a", "phash AS ph_a")
-    b = bands.selectExpr("band", "bkey", "image_id AS id_b", "phash AS ph_b")
-    pairs = (
-        a.join(b, ["band", "bkey"])
-        .where("id_a < id_b")
-        .selectExpr("id_a", "id_b", "CAST(bit_count(ph_a ^ ph_b) AS BIGINT) AS hamming")
-        .where("hamming <= 3")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("image_id", "phash"))
+            ).alias("ids")
+        )
+        .where((F.size("ids") > 1) & (F.size("ids") <= F.lit(max_bucket)))
+    )
+    return (
+        bucket_pairs(buckets, "a", "b")
+        .selectExpr(
+            "a.image_id AS id_a", "b.image_id AS id_b",
+            "CAST(bit_count(a.phash ^ b.phash) AS BIGINT) AS hamming",
+        )
+        .where("id_a < id_b AND hamming <= 3")
         .distinct()
     )
-    return pairs
 
 
 ORACLE_PHASH_DUP = oracle_prelude() + """
@@ -982,6 +1009,9 @@ SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
 WHERE a.image_id < b.image_id
   AND bit_count(xor(a.phash, b.phash)) <= 3
+  AND (a.band, a.bkey) IN (
+    SELECT (band, bkey) FROM bands GROUP BY band, bkey
+    HAVING count(*) <= 10000)
 """
 
 
