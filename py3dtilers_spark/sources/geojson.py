@@ -110,11 +110,15 @@ def read_geojson(
         ).alias("ring"),
     ).drop("ring0")
     # reference degenerate-line rule (geojson_line.py:44-47): a line with
-    # identical consecutive coordinates is rejected
+    # identical consecutive coordinates is rejected. A < 2-point line is
+    # rejected too (nothing to buffer) — and must be guarded BEFORE the
+    # exists(): sequence(1, 0) yields the descending range [1, 0] and
+    # line[1] on a 1-point array throws INVALID_ARRAY_INDEX under ANSI
+    # mode, turning one malformed feature into a whole-scan failure.
     feats = feats.where(
         F.expr(
-            "line IS NULL OR NOT exists("
-            "sequence(1, size(line) - 1), i -> line[i] = line[i - 1])"
+            "line IS NULL OR (size(line) >= 2 AND NOT exists("
+            "sequence(1, size(line) - 1), i -> line[i] = line[i - 1]))"
         )
     )
     feats = feats.withColumn(

@@ -1263,8 +1263,15 @@ def ifc_world_placements(entities: DataFrame) -> DataFrame:
             cur.join(anc, "parent_id", "left")
             .select(
                 "plc_id",
+                # anc covers EVERY IfcLocalPlacement, so a missed join
+                # (anc_frame null) means the parent ref is not a local
+                # placement at all (IfcGridPlacement, dangling id in a
+                # truncated file): treat the row as a ROOT immediately —
+                # keeping parent_id would spin the loop through all 40
+                # rounds of eager checkpoints + isEmpty jobs over the
+                # full placement table without ever resolving.
                 F.when(F.col("anc_frame").isNotNull(), F.col("gp_id"))
-                .otherwise(F.col("parent_id"))
+                .otherwise(F.lit(None).cast("bigint"))
                 .alias("parent_id"),
                 F.when(
                     F.col("anc_frame").isNotNull(),
@@ -1308,33 +1315,51 @@ def ifc_product_meshes_world(entities: DataFrame) -> DataFrame:
         " ymax double, zmin double, zmax double, tris binary"
     )
 
+    cols = [
+        "entity_id", "global_id", "ifc_class", "n_tri", "surface2",
+        "xmin", "xmax", "ymin", "ymax", "zmin", "zmax", "tris",
+    ]
+
     def apply_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Batched per-frame matmul: products sharing a placement frame
+        (storeys of repeated elements, mapped items) are concatenated into
+        ONE (N, 3, 3) vertex array and transformed with a single
+        ``verts @ R.T + t`` — no per-row Python in the transform step
+        (the round-4 iterrows loop re-built numpy state per product)."""
         import numpy as np
 
-        rows = []
-        for _, r in pdf.iterrows():
-            rec = r.to_dict()
-            f = rec.pop("frame", None)
-            if f is not None and rec["n_tri"] > 0:
-                rot = np.asarray(f[:9]).reshape(3, 3)
-                t = np.asarray(f[9:])
-                tris = (
-                    np.frombuffer(bytes(rec["tris"]), dtype=np.float32)
-                    .astype(np.float64)
-                    .reshape(-1, 3, 3)
-                )
-                tris = tris @ rot.T + t
-                m = _mesh_row(int(rec["entity_id"]), tris)
-                m.pop("solid_id")
-                rec.update(m)
-            else:
-                rec.pop("frame", None)
-            rows.append(rec)
-        cols = [
-            "entity_id", "global_id", "ifc_class", "n_tri", "surface2",
-            "xmin", "xmax", "ymin", "ymax", "zmin", "zmax", "tris",
-        ]
-        return pd.DataFrame(rows, columns=cols)
+        frames = pdf["frame"]
+        movable = frames.notna().to_numpy() & (pdf["n_tri"].to_numpy() > 0)
+        out = pdf[cols].copy()
+        if movable.any():
+            idx = np.flatnonzero(movable)
+            # group batch rows by frame VALUE (12 floats -> bytes key)
+            groups: dict[bytes, list[int]] = {}
+            for i in idx:
+                key = np.asarray(frames.iloc[i], dtype=np.float64).tobytes()
+                groups.setdefault(key, []).append(i)
+            new_rows: dict[int, dict] = {}
+            for key, rows_i in groups.items():
+                f = np.frombuffer(key, dtype=np.float64)
+                rot, t = f[:9].reshape(3, 3), f[9:]
+                tri_arrays = [
+                    np.frombuffer(bytes(pdf["tris"].iloc[i]), dtype=np.float32)
+                    .astype(np.float64).reshape(-1, 3, 3)
+                    for i in rows_i
+                ]
+                offsets = np.cumsum([0] + [len(a) for a in tri_arrays])
+                moved = np.concatenate(tri_arrays) @ rot.T + t
+                for k, i in enumerate(rows_i):
+                    m = _mesh_row(
+                        int(pdf["entity_id"].iloc[i]),
+                        moved[offsets[k]:offsets[k + 1]],
+                    )
+                    m.pop("solid_id")
+                    new_rows[i] = m
+            for i, m in new_rows.items():
+                for c, v in m.items():
+                    out.iloc[i, out.columns.get_loc(c)] = v
+        return pd.DataFrame(out, columns=cols)
 
     return placed.mapInPandas(
         lambda it: (apply_frame(p) for p in it), schema

@@ -723,3 +723,41 @@ def test_ifc_world_placement_deep_chain(spark, tmp_path):
     mid = frames[1002 + 3 * (depth // 2)]
     assert np.allclose(mid[9:], [(depth // 2 + 1) * 1.0,
                                  (depth // 2 + 1) * 2.0, 0.0])
+
+
+def test_ifc_world_placement_unresolvable_parent(spark, tmp_path):
+    """A parent ref that is NOT an IfcLocalPlacement (IfcGridPlacement,
+    dangling id in a truncated file) must become a ROOT after one
+    unresolved round — not spin the pointer-jump loop through all 40
+    eager rounds. The row keeps its own (possibly partial) frame."""
+    import numpy as np
+
+    from py3dtilers_spark.sources.ifc_io import ifc_entities as ents_fn
+    from py3dtilers_spark.sources.ifc_io import ifc_world_placements
+
+    txt = "\n".join([
+        "ISO-10303-21;", "HEADER;FILE_SCHEMA(('IFC4'));", "ENDSEC;", "DATA;",
+        "#10= IFCCARTESIANPOINT((5.,6.,7.));",
+        "#11= IFCAXIS2PLACEMENT3D(#10,$,$);",
+        # parent #9999 does not exist (truncated file)
+        "#12= IFCLOCALPLACEMENT(#9999,#11);",
+        "#20= IFCCARTESIANPOINT((1.,0.,0.));",
+        "#21= IFCAXIS2PLACEMENT3D(#20,$,$);",
+        # parent #10 exists but is a point, not a placement
+        "#22= IFCLOCALPLACEMENT(#10,#21);",
+        # a normal chain must still resolve THROUGH the fixed rows
+        "#30= IFCCARTESIANPOINT((0.,0.,2.));",
+        "#31= IFCAXIS2PLACEMENT3D(#30,$,$);",
+        "#32= IFCLOCALPLACEMENT(#12,#31);",
+        "ENDSEC;", "END-ISO-10303-21;",
+    ]) + "\n"
+    p = tmp_path / "dangling.ifc"
+    p.write_text(txt)
+    frames = {
+        r["plc_id"]: r["frame"]
+        for r in ifc_world_placements(ents_fn(spark, str(p))).collect()
+    }
+    assert np.allclose(frames[12][9:], [5.0, 6.0, 7.0])
+    assert np.allclose(frames[22][9:], [1.0, 0.0, 0.0])
+    # child of the dangling-parent row: composes through it
+    assert np.allclose(frames[32][9:], [5.0, 6.0, 9.0])

@@ -81,6 +81,17 @@ def _write_geojson(path):
                     [[0.0, 80.0], [6.0, 80.0]],
                     [[500.0, 500.0], [600.0, 600.0]]]},
             },
+            {
+                "type": "Feature",
+                "properties": {"ID": "ROAD_1PT", "HAUTEUR": 3.0,
+                               "PREC_ALTI": 1.0, "NATURE": "Route",
+                               "Z_MIN": 0.0},
+                # malformed 1-point LineString: must be FILTERED, not fatal
+                # (ANSI mode: the unguarded exists() threw
+                # INVALID_ARRAY_INDEX and killed the whole scan)
+                "geometry": {"type": "LineString", "coordinates": [
+                    [1.0, 1.0]]},
+            },
         ],
     }
     with open(path, "w") as fh:
@@ -112,7 +123,7 @@ def test_geojson_source(spark, tmp_path):
     assert abs(ys2[0] - 79.0) < 1e-9 and abs(ys2[-1] - 81.0) < 1e-9
     assert abs(r2["x"] - 3.0) < 1e-9  # the (500,600) line is ignored
     unfiltered = read_geojson(spark, p, apply_prec_filter=False).count()
-    assert unfiltered == 6  # ROAD_BAD rejected, BAT2 kept
+    assert unfiltered == 6  # ROAD_BAD + ROAD_1PT rejected, BAT2 kept
 
 
 def test_tileset_roundtrip_and_merge(spark, sf_smoke, tmp_path):
