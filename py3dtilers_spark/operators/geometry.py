@@ -490,7 +490,13 @@ def _cap_from_segments(
 ) -> list[np.ndarray]:
     """Reassemble the on-plane cut segments into closed loops and ear-clip
     each in the plane's 2-D frame, winding the cap so its normal is -nrm
-    (outward for the kept half-space)."""
+    (outward for the kept half-space).
+
+    Multiply-connected cross-sections (the plane cutting a solid around an
+    interior void — an annulus cap) yield NESTED loops: a loop contained in
+    an odd number of larger loops is a HOLE of its smallest container and
+    is passed to ear_clip_with_holes instead of being re-wound and filled
+    solid (which would overlap cap triangles and break closedness)."""
     # 2-D frame in the plane
     a = np.array([1.0, 0.0, 0.0])
     if abs(nrm @ a) > 0.9:
@@ -514,7 +520,7 @@ def _cap_from_segments(
         pts3.setdefault(kp, p)
         pts3.setdefault(kq, q)
     used = set()
-    caps: list[np.ndarray] = []
+    loops2: list[tuple[np.ndarray, list]] = []  # (CCW ring2, loop keys)
     for start in adj:
         if start in used or not adj[start]:
             continue
@@ -565,15 +571,69 @@ def _cap_from_segments(
             continue
         ring2 = ring2[keep_idx]
         loop = [loop[i] for i in keep_idx]
-        idx = ear_clip(ring2)
-        if len(idx) == 0:
-            continue
-        p3 = np.array([pts3[k] for k in loop])
-        cap_tris = p3[idx]
+        loops2.append((ring2, loop))
+
+    # nesting: even containment depth -> outer cap face; odd -> hole of its
+    # smallest container (annulus cross-section). O(L^2) point-in-polygon
+    # on L = #loops of ONE solid's cut — single digits in practice.
+    areas = [abs(_signed_area2(r)) for r, _ in loops2]
+    containers: list[list[int]] = [[] for _ in loops2]
+    for i, (ri, _) in enumerate(loops2):
+        for j, (rj, _) in enumerate(loops2):
+            if i != j and areas[j] > areas[i] and _point_in_ring2(ri[0], rj):
+                containers[i].append(j)
+    holes_of: dict[int, list[int]] = {}
+    outers: list[int] = []
+    for i in range(len(loops2)):
+        if len(containers[i]) % 2 == 0:
+            outers.append(i)
+        else:
+            parent = min(containers[i], key=lambda j: areas[j])
+            holes_of.setdefault(parent, []).append(i)
+
+    caps: list[np.ndarray] = []
+    for i in outers:
+        ring2, loop = loops2[i]
+        hole_ids = holes_of.get(i, [])
+        if hole_ids:
+            tri2 = ear_clip_with_holes(
+                ring2, [loops2[h][0] for h in hole_ids]
+            )
+            if len(tri2) == 0:
+                continue
+            # lift the (u, v)-frame coords back to 3-D: on-plane points are
+            # org + x*u + y*v (u, v orthonormal; bridge vertices introduced
+            # by the hole linking have no 3-D original to look up)
+            cap_tris = (
+                org[None, None, :]
+                + tri2[:, :, 0:1] * u[None, None, :]
+                + tri2[:, :, 1:2] * v[None, None, :]
+            )
+        else:
+            idx = ear_clip(ring2)
+            if len(idx) == 0:
+                continue
+            p3 = np.array([pts3[k] for k in loop])
+            cap_tris = p3[idx]
         # CCW in the (u, v) frame gives triangle normal +nrm (u x v = nrm
         # frame is right-handed); the cap must face -nrm -> flip winding
         caps.append(cap_tris[:, ::-1, :])
     return caps
+
+
+def _point_in_ring2(pt, ring: np.ndarray) -> bool:
+    """Even-odd ray cast of 2-D `pt` against polygon `ring` ((N, 2))."""
+    x, y = float(pt[0]), float(pt[1])
+    inside = False
+    n = len(ring)
+    for k in range(n):
+        x1, y1 = ring[k]
+        x2, y2 = ring[(k + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xin = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+            if x < xin:
+                inside = not inside
+    return inside
 
 
 def revolve_ring(

@@ -106,3 +106,58 @@ def test_clip_partition_property():
         vb = mesh_volume6(clip_mesh_halfspace(cube, org, -nrm))
         assert va + vb == pytest.approx(6.0, abs=1e-6)
         assert -1e-9 <= va <= 6.0 + 1e-9
+
+
+def square_tube():
+    """Closed hollow solid: 4x4 square prism (z 0..2) with a 1x1 square
+    tunnel through it — the multiply-connected clip fixture."""
+    from py3dtilers_spark.operators.geometry import ear_clip_with_holes
+
+    out_r = np.array([[-2.0, -2.0], [2.0, -2.0], [2.0, 2.0], [-2.0, 2.0]])
+    in_r = np.array([[-0.5, -0.5], [0.5, -0.5], [0.5, 0.5], [-0.5, 0.5]])
+    z0, z1 = 0.0, 2.0
+    tris = []
+
+    def walls(ring, reverse):
+        r = ring[::-1] if reverse else ring
+        n = len(r)
+        for k in range(n):
+            a, b = r[k], r[(k + 1) % n]
+            a0, b0 = [a[0], a[1], z0], [b[0], b[1], z0]
+            a1, b1 = [a[0], a[1], z1], [b[0], b[1], z1]
+            tris.append([a0, b0, b1])
+            tris.append([a0, b1, a1])
+
+    walls(out_r, False)  # outward
+    walls(in_r, True)    # tunnel walls face the tunnel axis
+    ann = ear_clip_with_holes(out_r, [in_r])  # (T, 3, 2) CCW from +z
+    top = np.concatenate([ann, np.full((*ann.shape[:2], 1), z1)], axis=2)
+    bot = np.concatenate(
+        [ann, np.full((*ann.shape[:2], 1), z0)], axis=2
+    )[:, ::-1, :]
+    return np.concatenate([np.asarray(tris, float), top, bot], axis=0)
+
+
+def test_tube_baseline_closed():
+    tube = square_tube()
+    assert mesh_volume6(tube) == pytest.approx(6.0 * (16.0 - 1.0) * 2.0)
+    _, dbl = triangle_normals(tube)
+    # outer walls 16*2 + inner walls 4*2 + two annuli 2*15
+    assert dbl.sum() / 2.0 == pytest.approx(32.0 + 8.0 + 30.0)
+
+
+def test_clip_annulus_cap():
+    """Plane across the tunnel: the cap cross-section is an ANNULUS. The
+    inner loop must become a hole of the outer cap loop — re-winding and
+    filling it solid (the round-4 behavior) overlaps cap triangles and
+    breaks both area and closedness."""
+    tube = square_tube()
+    out = clip_mesh_halfspace(tube, np.array([0, 0, 1.0]), np.array([0, 0, 1.0]))
+    # closed half-tube: volume (16-1)*1
+    assert mesh_volume6(out) == pytest.approx(6.0 * 15.0, abs=1e-6)
+    _, dbl = triangle_normals(out)
+    # outer walls 16 + inner walls 4 + top annulus 15 + cap annulus 15
+    assert dbl.sum() / 2.0 == pytest.approx(50.0, abs=1e-6)
+    # other half too
+    lo = clip_mesh_halfspace(tube, np.array([0, 0, 1.0]), np.array([0, 0, -1.0]))
+    assert mesh_volume6(lo) == pytest.approx(6.0 * 15.0, abs=1e-6)
