@@ -223,6 +223,74 @@ def s2_cell_id(lat: Column, lng: Column, level: int = MAX_LEVEL) -> Column:
     return _udf(lat, lng)
 
 
+def s2_cell_id_ij(face: Column, i: Column, j: Column) -> Column:
+    """Arrow-batched leaf id from integer (face, i, j) — the pure-integer
+    Hilbert half of the encode, split out so the DRIVER ORACLE can check it
+    byte-exactly: the spherical lat/lng projection upstream runs through
+    cos/sin/sqrt whose last-ulp rounding differs between numpy's SIMD
+    kernels and DuckDB's libm, which would flip ~1e-7 of floor(s*2^30)
+    boundaries — so the cross-engine query derives (i, j) from exactly
+    rounded linear float ops instead and the spherical kernel stays pinned
+    by tests/test_s2.py's independent scalar oracle."""
+
+    @F.pandas_udf(LongType())
+    def _udf(f: pd.Series, ii: pd.Series, jj: pd.Series) -> pd.Series:
+        cid = face_ij_to_id(
+            f.to_numpy(np.int64), ii.to_numpy(np.int64), jj.to_numpy(np.int64)
+        )
+        return pd.Series(cid.astype(np.int64))
+
+    return _udf(face, i, j)
+
+
+def s2_rollup_oracle_sql(src_sql: str) -> str:
+    """DuckDB SQL computing the IDENTICAL leaf encode + level-12/8 parent
+    roll-up over a source subquery yielding (face, i, j, w): the 8-round
+    Hilbert lookup unrolled into chained CTEs with the 1024-entry
+    _LOOKUP_POS table embedded as a list literal (the IVF
+    embed-the-trained-constants pattern). All arithmetic is integer
+    (HUGEINT where the unsigned 64-bit id overflows BIGINT); the final ids
+    wrap to signed to match Spark's bigint view."""
+    lut = ", ".join(str(int(v)) for v in _LOOKUP_POS)
+    parts = [
+        f"WITH src AS ({src_sql})",
+        f"lut AS (SELECT [{lut}] AS l)",
+        f"r8 AS (SELECT face, i, j, w, CAST(face AS HUGEINT) * {1 << 60} AS n,"
+        " face % 2 AS bits FROM src)",
+    ]
+    for k in range(7, -1, -1):
+        p4 = 1 << (4 * k)
+        p8 = 1 << (8 * k)
+        parts.append(
+            f"a{k} AS (SELECT face, i, j, w, n, l[CAST(bits"
+            f" + ((i // {p4}) % 16) * 64 + ((j // {p4}) % 16) * 4"
+            f" AS BIGINT) + 1] AS lv FROM r{k + 1}, lut)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT face, i, j, w,"
+            f" n + CAST(lv // 4 AS HUGEINT) * {p8} AS n,"
+            f" lv % 4 AS bits FROM a{k})"
+        )
+    lsb12 = 1 << (2 * (MAX_LEVEL - 12))
+    lsb8 = 1 << (2 * (MAX_LEVEL - 8))
+    wrap = (
+        "CAST(CASE WHEN {u} >= {half} THEN {u} - {full} ELSE {u} END AS BIGINT)"
+    )
+    p12 = f"((uid // {lsb12}) - ((uid // {lsb12}) % 2) + 1) * {lsb12}"
+    p8_ = f"((uid // {lsb8}) - ((uid // {lsb8}) % 2) + 1) * {lsb8}"
+    parts.append("fin AS (SELECT w, n * 2 + 1 AS uid FROM r0)")
+    parts.append(f"cells AS (SELECT w, {p12} AS p12u, {p8_} AS p8u FROM fin)")
+    body = ",\n".join(parts)
+    c8 = wrap.format(u="p8u", half=1 << 63, full=1 << 64)
+    c12 = wrap.format(u="p12u", half=1 << 63, full=1 << 64)
+    return (
+        body
+        + f"\nSELECT {c8} AS cell8, {c12} AS cell12,"
+        " count(*) AS n, CAST(sum(w) AS BIGINT) AS sum_w"
+        " FROM cells GROUP BY 1, 2"
+    )
+
+
 def s2_parent(cid: Column, level: int) -> Column:
     """Pure column math (no UDF): parent id at `level` of a finer id."""
     lsb = 1 << (2 * (MAX_LEVEL - level))

@@ -404,8 +404,11 @@ def q_knn(spark, sf_dir):
         f"CAST(floor((x - 1843000.0) / {_KNN_CELL}) AS BIGINT) AS gx",
         f"CAST(floor((y - 5173000.0) / {_KNN_CELL}) AS BIGINT) AS gy",
         "h2",
-    ).persist()  # consumed by BOTH join sides — avoids re-running the
-    # feature-derivation groupBy for probe and candidate branches
+    ).localCheckpoint(eager=True)  # consumed by BOTH join sides — avoids
+    # re-running the feature-derivation groupBy for probe and candidate
+    # branches; localCheckpoint (vs the former persist()) is freed by the
+    # ContextCleaner once the DataFrame is GC'd, so a caller that never
+    # unpersists (the bench loop) no longer accumulates cached copies
     queries = feats.where("h2 % 601 = 0").selectExpr(
         "image_id AS q_id", "x AS qx", "y AS qy", "gx AS qgx", "gy AS qgy"
     )
@@ -1079,22 +1082,38 @@ def _ivf_oracle() -> "str | None":
         return None
 
 
+# exactly rounded linear maps feature centroid -> cell-grid (s, t): every
+# op (sub, mul, add, floor) is IEEE-exact, so Spark (JVM) and DuckDB
+# produce bit-identical (i, j) — unlike the spherical cos/sin/sqrt chain,
+# whose last-ulp differences between numpy SIMD and libm would flip
+# floor(s*2^30) boundaries (why round-4's s2_cells was rows-only)
+_S2_I = ("CAST(least(greatest(floor(((y - 5173000.0) * 1e-5 + 0.5)"
+         " * 1073741824.0), 0.0), 1073741823.0) AS BIGINT)")
+_S2_J = ("CAST(least(greatest(floor(((x - 1843000.0) * 1e-5 + 0.5)"
+         " * 1073741824.0), 0.0), 1073741823.0) AS BIGINT)")
+_S2_FACE = "CAST(((h2 % 6) + 6) % 6 AS BIGINT)"
+
+
 def q_s2_cells(spark, sf_dir):
     """Hierarchical S2 cell roll-up of feature centroids (north-rule
-    "batched H3/S2 cell encoding ... via pandas/Arrow UDFs"): planar
-    centroids mapped onto a deterministic lat/lng window, leaf cells
-    encoded once by the Arrow-batched kernel, then BOTH aggregation levels
-    (12 and 8) derived from the same leaf column with pure bit math —
-    the parent chain never re-runs the UDF. SQL-inexpressible (Hilbert
-    curve); pinned by tests/test_s2.py's independent scalar oracle."""
-    from .functions.s2 import s2_cell_id, s2_parent
+    "batched H3/S2 cell encoding ... via pandas/Arrow UDFs"): centroids
+    mapped onto the cell grid by exactly-rounded linear float math, leaf
+    ids encoded ONCE by the Arrow-batched integer Hilbert kernel
+    (functions/s2.py face_ij_to_id), then BOTH aggregation levels (12 and
+    8) derived from the same leaf column with pure bit math — the parent
+    chain never re-runs the UDF. FULL driver oracle since round 5: the
+    8-round Hilbert lookup is unrolled into DuckDB SQL with the 1024-entry
+    traversal table embedded as a literal (s2_rollup_oracle_sql); the
+    spherical lat/lng projection (engine-specific last-ulp cos/sin) stays
+    pinned by tests/test_s2.py's independent scalar oracle instead."""
+    from .functions.s2 import s2_cell_id_ij, s2_parent
 
     feats = _feats(spark, sf_dir).selectExpr(
-        "45.0 + (y - 5173000.0) * 1e-5 AS lat",
-        "7.0 + (x - 1843000.0) * 1e-5 AS lng",
-        "w",
+        f"{_S2_FACE} AS face", f"{_S2_I} AS i", f"{_S2_J} AS j", "w"
     )
-    leaf = feats.withColumn("leaf", s2_cell_id(F.col("lat"), F.col("lng")))
+    leaf = feats.withColumn(
+        "leaf", s2_cell_id_ij(F.col("face"), F.col("i"), F.col("j"))
+    )
     return (
         leaf.withColumn("cell12", s2_parent(F.col("leaf"), 12))
         .withColumn("cell8", s2_parent(F.col("leaf"), 8))
@@ -1104,6 +1123,20 @@ def q_s2_cells(spark, sf_dir):
             F.sum("w").cast("bigint").alias("sum_w"),
         )
         .orderBy("cell8", "cell12")
+    )
+
+
+def _s2_oracle_sql() -> str:
+    from .functions.s2 import s2_rollup_oracle_sql
+
+    src = (
+        "SELECT "
+        + _S2_FACE + " AS face, "
+        + _S2_I + " AS i, "
+        + _S2_J + " AS j, w FROM features"
+    )
+    return oracle_prelude() + "\n" + s2_rollup_oracle_sql(src).replace(
+        "WITH src AS", ", src AS", 1
     )
 
 
@@ -1125,7 +1158,7 @@ def _register_extra():
             # Hilbert-curve cell ids are SQL-inexpressible: rows-only check
             # here; value parity pinned by tests/test_s2.py (independent
             # scalar re-implementation + canonical face tokens).
-            "s2_cells": (q_s2_cells, None),
+            "s2_cells": (q_s2_cells, _s2_oracle_sql()),
             "dup_components": (q_dup_components, _dup_components_oracle()),
             "phash_near_dup": (q_phash_near_dup, ORACLE_PHASH_DUP),
             # quantizer trained once, centroids embedded as literals in
