@@ -140,7 +140,9 @@ def chain_record(n_lo: int, n_hi: int, n_rows: int, input_path: str) -> tuple:
             if best is not None or i >= 4:
                 if best is not None:
                     return best, f"live chains x{i - 1}; last error: {e}"
-                raise SystemExit(f"no scaling chain could run: {e}")
+                # NEVER die without the one JSON line: report no-evidence
+                # (efficiency null) instead of SystemExit
+                return None, f"no scaling chain could run: {e}"
             time.sleep(60)
             continue
         if chain.get("clean"):
@@ -227,6 +229,62 @@ def _chain_log_tally() -> dict:
     return {"chains_sampled": total, "chains_certified": clean}
 
 
+def _round_num() -> int:
+    """Current round = 1 + highest recorded BENCH_r{N}.json."""
+    import glob
+    import re
+
+    ns = [0]
+    for f in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            ns.append(int(m.group(1)))
+    return max(ns) + 1
+
+
+# scaling keys too bulky for the 2000-char stdout tail — full-record only
+_FILE_ONLY_KEYS = (
+    "canaries", "protocol", "window_gate", "clean_estimates_full_log",
+    "clean_estimates_current_gate", "timings_lo", "timings_hi",
+)
+
+
+def emit_result(queries: dict, value_total, perf: dict | None,
+                scaling: dict) -> None:
+    """Write the FULL record to BENCH/bench_r{N}.json, then print ONE slim
+    JSON line whose LAST keys are `queries` and `efficiency`: the driver
+    keeps only the final 2000 chars of bench stdout, and round 4 lost its
+    per-query timings because the queries map sat at the front of a fat
+    line (BENCH_r04.json parsed: null)."""
+    full = {
+        "metric": "wall_sec_headline_suite",
+        "value": value_total,
+        "unit": "sec",
+        "sf": _sf_of(SF_DIR),
+        **(perf or {}),
+        "scaling": scaling,
+        "queries": queries,
+        "efficiency": scaling.get("efficiency"),
+    }
+    try:
+        path = os.path.join(REPO, "BENCH", f"bench_r{_round_num():02d}.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    slim = {
+        k: v for k, v in full.items()
+        if k not in ("scaling", "queries", "efficiency")
+    }
+    slim["scaling"] = {
+        k: v for k, v in scaling.items() if k not in _FILE_ONLY_KEYS
+    }
+    slim["queries"] = queries
+    slim["efficiency"] = scaling.get("efficiency")
+    print(json.dumps(slim))
+
+
 def main() -> None:
     n_lo, n_hi = SCALE_N, 4 * SCALE_N
     input_path = os.path.join(
@@ -256,11 +314,11 @@ def main() -> None:
     from tools.run_chain import (
         CANARY_MED_MIN, CANARY_MIN_SAMPLES, CANARY_MIN_SPAN, CANARY_P10_MIN,
         COLO_CPU_MED_MAX, COLO_CPU_P90_MAX, COLO_STEAL_MEAN_MAX,
-        COLO_STEAL_P90_MAX, GATE_VERSION,
+        COLO_STEAL_P90_MAX, GATE_VERSION, IO_FSYNC_MED_MAX,
     )
 
-    ests = chain.get("estimates", [])
-    if not ests:
+    ests = chain.get("estimates", []) if chain else []
+    if chain and not ests:
         # every sampled chain aborted/errored before its first bracketed
         # estimate — fall back to the most recent complete runs of each
         # level from the run log so the bench still emits a (non-certified)
@@ -277,11 +335,22 @@ def main() -> None:
                 "hi_sec": hi_r[-1]["run"]["sec"],
                 "clean": False,
             }]
-        else:
-            raise SystemExit(
-                "no scaling estimate available: all chains aborted before"
-                " one (lo,hi) pair completed — see BENCH/scaling_chains.jsonl"
-            )
+    if not ests:
+        # no scaling evidence at all this run: STILL emit the one JSON
+        # line (efficiency null + the error) — the old SystemExit here
+        # regressed the never-die-without-output contract
+        emit_result(
+            queries, round(sum(queries.values()), 3), None,
+            {
+                "cores_lo": n_lo, "cores_hi": n_hi, "input_rows": n_rows,
+                "error": provenance,
+                "chain_id": chain.get("chain_id") if chain else None,
+                "certified": False,
+                "efficiency": None,
+                **_chain_log_tally(),
+            },
+        )
+        return
     clean_ests = [e for e in ests if e["clean"]] or ests
     med_eff = statistics.median(e["eff"] for e in clean_ests) if clean_ests else None
     lo_sec = statistics.median(e["lo_sec_bracket"] for e in clean_ests)
@@ -306,26 +375,23 @@ def main() -> None:
     thr_lo = n_rows / lo_sec
     thr_hi = n_rows / hi_sec
 
-    result = {
-        "metric": "wall_sec_headline_suite",
-        "value": total,
-        "unit": "sec",
-        "queries": queries,
-        "sf": _sf_of(SF_DIR),
+    perf = {
         "tiles_per_sec": round(rep_hi["run"]["n_tiles"] / rep_hi["run"]["sec"], 3),
         "features_per_sec": round(thr_hi, 1),
-        "scaling": {
+    }
+    scaling = {
             "cores_lo": n_lo,
             "cores_hi": n_hi,
             "input_rows": n_rows,
             "payload": "materialized bytes column (input_hint table)",
             "protocol": f"bracketed chain lo,(hi,lo)x{SCALE_PAIRS}, fresh"
                         " pinned JVM each; DURING-RUN reserved-CPU canary"
-                        " (job kernel, ~3% duty) AND co-located probe on"
-                        " the job's own pinned CPUs (cpu-sec/tile +"
-                        " /proc/stat steal, ~2% duty) sampled across every"
-                        " run; eff_i = (mean(bracketing lo secs)/hi sec)/4;"
-                        " chain certified iff EVERY run passes BOTH gates;"
+                        " (job kernel, ~3% duty) AND co-located CPU probe"
+                        " (cpu-sec/tile + /proc/stat steal, ~2% duty) AND"
+                        " co-located storage probe (64 KiB fsync +"
+                        " /proc/diskstats) sampled across every run;"
+                        " eff_i = (mean(bracketing lo secs)/hi sec)/4;"
+                        " chain certified iff EVERY run passes ALL gates;"
                         " record = first chain certified under the current"
                         " gate version (rule declared in tools/run_chain.py"
                         " before data)",
@@ -344,18 +410,20 @@ def main() -> None:
                            f" (n>={CANARY_MIN_SAMPLES},"
                            f" span>={CANARY_MIN_SPAN}, median tps >="
                            f" {CANARY_MED_MIN}, p10 tps >= {CANARY_P10_MIN})"
-                           f" AND co-located probe on the job's pinned CPUs"
-                           f" (cpu-sec/tile med <= {COLO_CPU_MED_MAX}, p90"
-                           f" <= {COLO_CPU_P90_MAX}; job-CPU steal mean <="
-                           f" {COLO_STEAL_MEAN_MAX}, p90 <="
-                           f" {COLO_STEAL_P90_MAX}); thresholds fixed in"
-                           f" advance (tools/run_chain.py docstring,"
-                           f" BENCH/BASELINE.md 'Gate v2')",
+                           f" AND co-located CPU probe on the job's pinned"
+                           f" CPUs (cpu-sec/tile med <= {COLO_CPU_MED_MAX},"
+                           f" p90 <= {COLO_CPU_P90_MAX}; job-CPU steal mean"
+                           f" <= {COLO_STEAL_MEAN_MAX}, p90 <="
+                           f" {COLO_STEAL_P90_MAX}) AND co-located storage"
+                           f" probe (fsync median <= {IO_FSYNC_MED_MAX} ms"
+                           f" — the v22 I/O-throttle hole); thresholds fixed"
+                           f" in advance (tools/run_chain.py docstring)",
             "canaries": [
                 {
                     "cores": r["run"]["cores"],
                     **{k: r["canary"][k] for k in ("n", "med", "p10", "min")},
                     "colo": r.get("colo"),
+                    "io": r.get("io"),
                     "clean": r["clean"],
                 }
                 for r in chain["runs"]
@@ -364,9 +432,8 @@ def main() -> None:
             **_clean_estimate_context(n_lo, n_hi, n_rows),
             "timings_lo": rep_lo["run"].get("timings", {}),
             "timings_hi": rep_hi["run"].get("timings", {}),
-        },
     }
-    print(json.dumps(result))
+    emit_result(queries, total, perf, scaling)
 
 
 if __name__ == "__main__":
