@@ -38,7 +38,7 @@ sys.path.insert(0, REPO)
 
 from tools.run_chain import (  # noqa: E402
     CANARY_CPU_BASE, CANARY_INTERVAL, CANARY_PROCS,
-    COLO_STEAL_MEAN_MAX, _pctl, colo_stats,
+    COLO_STEAL_MEAN_MAX, IO_FSYNC_MED_MAX, _pctl, colo_stats,
 )
 
 PROBE_SEC = 40.0
@@ -50,6 +50,9 @@ PROBE_P10 = 46.0   # RUN_CLEAN p10 gate is 42
 # timeshare with during a probe, unlike the during-run gate).
 PROBE_CPU_MED = 0.060
 PROBE_STEAL_MEAN = COLO_STEAL_MEAN_MAX
+# gate-v3 probe addition: don't spend a chain while the device is being
+# throttled (the RUN_CLEAN storage gate is fsync med <= 40 ms)
+PROBE_IO_FSYNC_MED = IO_FSYNC_MED_MAX
 SLEEP_BAD = 90.0
 HUNT_LOG = os.path.join(REPO, "BENCH", "hunt_log.jsonl")
 
@@ -77,6 +80,15 @@ def probe_weather(job_cpus: str) -> dict:
         [sys.executable, os.path.join(REPO, "tools", "co_canary.py"),
          colo_path, job_cpus, "0.5", "2"],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    # storage weather, same instrument as the v3 run gate: calib mode
+    # prints one JSON summary line when its duration elapses
+    pio = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "io_probe.py"),
+         "calib", tempfile.gettempdir(), str(max(PROBE_SEC - 4.0, 10.0)),
+         "3"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         start_new_session=True,
     )
     try:
@@ -109,16 +121,30 @@ def probe_weather(job_cpus: str) -> dict:
         os.unlink(colo_path)
     except OSError:
         pass
+    io_med = None
+    try:
+        io_out, _ = pio.communicate(timeout=20)
+        io_sum = json.loads(io_out.strip().splitlines()[-1])
+        io_med = io_sum.get("fsync_ms_med")
+    except Exception:
+        try:
+            os.killpg(os.getpgid(pio.pid), signal.SIGKILL)
+        except OSError:
+            pass
     med = round(statistics.median(tps), 1) if tps else 0.0
     p10 = round(_pctl(tps, 0.10), 1) if tps else 0.0
     ok = (
         len(tps) >= 5 and med >= PROBE_MED and p10 >= PROBE_P10
         and co["n"] >= 5 and co["cpu_med"] <= PROBE_CPU_MED
         and co["steal_mean"] <= PROBE_STEAL_MEAN
+        # probe failure (io_med None) does not block — the RUN gate still
+        # covers storage during the chain itself
+        and (io_med is None or io_med <= PROBE_IO_FSYNC_MED)
     )
     return {"n": len(tps), "med": med, "p10": p10,
             "colo_cpu_med": co["cpu_med"], "colo_cpu_p90": co["cpu_p90"],
             "colo_steal_mean": co["steal_mean"], "colo_n": co["n"],
+            "io_fsync_med": io_med,
             "ok": ok}
 
 
