@@ -200,6 +200,44 @@ def prism_extrude(ring: np.ndarray, z0: float, z1: float) -> np.ndarray:
     return np.asarray(tris, dtype=np.float64)
 
 
+def prism_extrude_with_holes(
+    ring: np.ndarray, holes: list, z0: float, z1: float
+) -> np.ndarray:
+    """Extrude a CCW ring with interior holes into a closed prism: annulus
+    caps via ear_clip_with_holes (G1), outward outer walls, and hole walls
+    wound so their normals face INTO each hole (outward for the solid) —
+    the hollow-profile extrusion (e.g. IfcCircleHollowProfileDef pipes)
+    that the plain prism_extrude cannot represent."""
+    cap2 = ear_clip_with_holes(ring, holes)  # (T, 3, 2) CCW coords
+    tris = []
+    for t in cap2:
+        tris.append([[t[0][0], t[0][1], z1], [t[1][0], t[1][1], z1],
+                     [t[2][0], t[2][1], z1]])
+        tris.append([[t[0][0], t[0][1], z0], [t[2][0], t[2][1], z0],
+                     [t[1][0], t[1][1], z0]])
+
+    def walls(r: np.ndarray, reverse: bool) -> None:
+        r = np.asarray(r, dtype=np.float64)
+        if reverse:
+            r = r[::-1]
+        n = len(r)
+        for i in range(n):
+            j = (i + 1) % n
+            bi = [r[i][0], r[i][1], z0]
+            bj = [r[j][0], r[j][1], z0]
+            ti = [r[i][0], r[i][1], z1]
+            tj = [r[j][0], r[j][1], z1]
+            tris.append([bi, bj, tj])
+            tris.append([bi, tj, ti])
+
+    walls(ring, reverse=False)  # CCW -> outward
+    for h in holes:
+        h = np.asarray(h, dtype=np.float64)
+        # hole walls outward-for-the-solid = facing the hole: traverse CW
+        walls(h, reverse=_signed_area2(h) > 0)
+    return np.asarray(tris, dtype=np.float64)
+
+
 def triangle_normals(tris: np.ndarray):
     """Face normals + doubled areas of (T, 3, 3) triangles — the vectorized
     form of the reference's per-face cross product (obj_writer.py:58-68).

@@ -225,11 +225,15 @@ def ifc_product_meshes(entities: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ..operators.geometry import prism_extrude
+        from ..operators.geometry import prism_extrude, prism_extrude_with_holes
 
         depth = float(pdf["depth"].iloc[0])
         ring = _profile_ring_np(pdf)
-        tris = prism_extrude(ring, 0.0, depth)
+        holes = _profile_holes_np(pdf)
+        if holes:
+            tris = prism_extrude_with_holes(ring, holes, 0.0, depth)
+        else:
+            tris = prism_extrude(ring, 0.0, depth)
         return pd.DataFrame([_mesh_row(int(pdf["solid_id"].iloc[0]), tris)])
 
     meshes = per_solid.groupBy("solid_id").applyInPandas(eval_solid, _MESH_SCHEMA)
@@ -282,12 +286,36 @@ def _mesh_row(solid_id: int, tris) -> dict:
     }
 
 
+_CIRCLE_SEGMENTS = 32
+
+
+def _circle_ring_np(radius: float):
+    import numpy as np
+
+    th = np.linspace(0.0, 2.0 * np.pi, _CIRCLE_SEGMENTS, endpoint=False)
+    return np.column_stack([radius * np.cos(th), radius * np.sin(th)])
+
+
+def _profile_holes_np(pdf) -> list:
+    """Interior hole rings of a profile (only the hollow-circle profile
+    has one: bore radius = Radius - WallThickness)."""
+    if pdf["ptype"].iloc[0] != "circhollow":
+        return []
+    bore = float(pdf["xdim"].iloc[0]) - float(pdf["ydim"].iloc[0])
+    if bore <= 0.0:
+        return []
+    return [_circle_ring_np(bore)]
+
+
 def _profile_ring_np(pdf):
     """Materialize one solid's profile ring (CCW (N,2) float64) from the
     joined _profile_rings rows."""
     import numpy as np
 
-    if pdf["ptype"].iloc[0] == "rect":
+    ptype = pdf["ptype"].iloc[0]
+    if ptype in ("circle", "circhollow"):
+        return _circle_ring_np(float(pdf["xdim"].iloc[0]))
+    if ptype == "rect":
         hx, hy = float(pdf["xdim"].iloc[0]) / 2.0, float(pdf["ydim"].iloc[0]) / 2.0
         return np.array([[-hx, -hy], [hx, -hy], [hx, hy], [-hx, hy]])
     g = pdf.sort_values("pos")
@@ -324,7 +352,29 @@ def _profile_rings(entities: DataFrame):
         .alias("xdim"),
         F.regexp_extract("args", _NUM_RE, 1).cast("double").alias("ydim"),
     )
-    prof = arb.unionByName(rect)
+    # curved profiles (columns / pipes): tessellated to a regular
+    # _CIRCLE_SEGMENTS-gon, the polyhedral stand-in for ifcopenshell's
+    # curved evaluation (COVERAGE.md Known gaps). xdim carries Radius;
+    # ydim the hollow profile's WallThickness.
+    circ = profiles.where(F.col("ifc_class") == "IFCCIRCLEPROFILEDEF").select(
+        "profile_id",
+        F.lit("circle").alias("ptype"),
+        F.lit(None).cast("bigint").alias("curve_id"),
+        F.regexp_extract("args", _NUM_RE, 1).cast("double").alias("xdim"),
+        F.lit(0.0).alias("ydim"),
+    )
+    hollow = profiles.where(
+        F.col("ifc_class") == "IFCCIRCLEHOLLOWPROFILEDEF"
+    ).select(
+        "profile_id",
+        F.lit("circhollow").alias("ptype"),
+        F.lit(None).cast("bigint").alias("curve_id"),
+        F.regexp_extract("args", r"([0-9][0-9.Ee+\-]*)\s*,\s*[0-9][0-9.Ee+\-]*\s*$", 1)
+        .cast("double")
+        .alias("xdim"),
+        F.regexp_extract("args", _NUM_RE, 1).cast("double").alias("ydim"),
+    )
+    prof = arb.unionByName(rect).unionByName(circ).unionByName(hollow)
 
     # ordered polyline vertices: posexplode keeps STEP argument order
     polys = entities.where(F.col("ifc_class") == "IFCPOLYLINE").select(
@@ -427,6 +477,22 @@ def ifc_revolved_meshes(entities: DataFrame, segments: int = 32) -> DataFrame:
             float(r0["angle"]),
             segments=segments,
         )
+        holes = _profile_holes_np(pdf)
+        if holes and float(r0["angle"]) >= 2.0 * np.pi - 1e-9:
+            # hollow profile, full revolution: the bore revolves to an
+            # inner closed surface whose normals must face the cavity —
+            # revolve it and invert the winding. (Partial-angle hollow
+            # revolutions would need annulus end caps: out of scope, the
+            # bore is ignored there — COVERAGE.md Known gaps.)
+            for h in holes:
+                inner = revolve_ring(
+                    h,
+                    np.array([float(r0["aox"]), float(r0["aoy"])]),
+                    np.array([adx, ady]),
+                    float(r0["angle"]),
+                    segments=segments,
+                )[:, ::-1, :]
+                tris = np.concatenate([tris, inner])
         return pd.DataFrame([_mesh_row(int(r0["solid_id"]), tris)])
 
     return per_solid.groupBy("solid_id").applyInPandas(

@@ -761,3 +761,69 @@ def test_ifc_world_placement_unresolvable_parent(spark, tmp_path):
     assert np.allclose(frames[22][9:], [1.0, 0.0, 0.0])
     # child of the dangling-parent row: composes through it
     assert np.allclose(frames[32][9:], [5.0, 6.0, 9.0])
+
+
+IFC_CIRCLE_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCCOLUMN('COL_C',#1,'C',$,$,$,#61,$);
+#21= IFCCOLUMN('PIPE_C',#1,'P',$,$,$,#71,$);
+#57= IFCCIRCLEPROFILEDEF(.AREA.,$,$,1.5);
+#58= IFCDIRECTION((0.,0.,1.));
+#59= IFCEXTRUDEDAREASOLID(#57,$,#58,4.);
+#60= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#59));
+#61= IFCPRODUCTDEFINITIONSHAPE($,$,(#60));
+#67= IFCCIRCLEHOLLOWPROFILEDEF(.AREA.,$,$,1.5,0.5);
+#69= IFCEXTRUDEDAREASOLID(#67,$,#58,4.);
+#70= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#69));
+#71= IFCPRODUCTDEFINITIONSHAPE($,$,(#70));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_circle_profiles(spark, tmp_path):
+    """Curved profiles (the most common curved geometry in real IFC:
+    columns and pipes) tessellated to a regular 32-gon. Oracles are the
+    independent regular-polygon formulas: area (N/2) r^2 sin(2pi/N),
+    perimeter 2 N r sin(pi/N)."""
+    import numpy as np
+
+    from py3dtilers_spark.sources.ifc_io import (
+        _CIRCLE_SEGMENTS, ifc_entities, ifc_product_meshes,
+    )
+
+    p = tmp_path / "circle.ifc"
+    p.write_text(IFC_CIRCLE_TEXT)
+    rows = {
+        r["global_id"]: r
+        for r in ifc_product_meshes(ifc_entities(spark, str(p))).collect()
+    }
+    assert set(rows) == {"COL_C", "PIPE_C"}
+    N = _CIRCLE_SEGMENTS
+
+    def area(r):
+        return (N / 2.0) * r * r * np.sin(2.0 * np.pi / N)
+
+    def perim(r):
+        return 2.0 * N * r * np.sin(np.pi / N)
+
+    c = rows["COL_C"]
+    assert c["n_tri"] == 2 * (N - 2) + 2 * N
+    assert c["surface2"] == int(np.rint(2 * (2 * area(1.5) + perim(1.5) * 4.0)))
+    assert (c["xmin"], c["xmax"]) == (-1.5, 1.5)
+    assert (c["zmin"], c["zmax"]) == (0.0, 4.0)
+
+    h = rows["PIPE_C"]
+    want2 = 2 * (
+        2 * (area(1.5) - area(1.0)) + (perim(1.5) + perim(1.0)) * 4.0
+    )
+    assert h["surface2"] == int(np.rint(want2))
+    # closed hollow solid: signed volume = annulus area * depth
+    from py3dtilers_spark.operators.geometry import mesh_volume6
+
+    tris = np.frombuffer(bytes(h["tris"]), dtype=np.float32).reshape(-1, 3, 3)
+    vol6 = mesh_volume6(tris.astype(np.float64))
+    assert abs(vol6 - 6.0 * (area(1.5) - area(1.0)) * 4.0) < 1e-3
