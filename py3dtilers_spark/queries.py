@@ -404,11 +404,13 @@ def q_knn(spark, sf_dir):
         f"CAST(floor((x - 1843000.0) / {_KNN_CELL}) AS BIGINT) AS gx",
         f"CAST(floor((y - 5173000.0) / {_KNN_CELL}) AS BIGINT) AS gy",
         "h2",
-    ).localCheckpoint(eager=True)  # consumed by BOTH join sides — avoids
+    ).localCheckpoint(eager=False)  # consumed by BOTH join sides — avoids
     # re-running the feature-derivation groupBy for probe and candidate
     # branches; localCheckpoint (vs the former persist()) is freed by the
     # ContextCleaner once the DataFrame is GC'd, so a caller that never
-    # unpersists (the bench loop) no longer accumulates cached copies
+    # unpersists (the bench loop) no longer accumulates cached copies.
+    # Lazy (eager=False): materializes during the first consuming action
+    # instead of as a separate blocking pass
     queries = feats.where("h2 % 601 = 0").selectExpr(
         "image_id AS q_id", "x AS qx", "y AS qy", "gx AS qgx", "gy AS qgy"
     )
