@@ -238,6 +238,120 @@ def prism_extrude_with_holes(
     return np.asarray(tris, dtype=np.float64)
 
 
+def sweep_disk(
+    pts: np.ndarray,
+    radius: float,
+    segments: int = 16,
+    inner_radius: float | None = None,
+) -> np.ndarray:
+    """Sweep a disk along a 3-D polyline directrix into a closed tube —
+    the IfcSweptDiskSolid shape (pipes/conduits in MEP models), which the
+    reference obtains wholesale from ifcopenshell
+    (/root/reference/py3dtilers/IfcTiler/ifcObjectGeom.py:74-130).
+
+    Cross-section frames are PARALLEL-TRANSPORTED along the path (each
+    vertex normal is the previous one re-projected perpendicular to the
+    new tangent — no torsion flips), with miter tangents at interior
+    vertices. Caps close both ends; a non-None inner_radius adds the bore
+    surface (inverted winding) and annular end caps. Returns (T, 3, 3)
+    float64 triangles, outward-oriented."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
+    keep = [0]
+    for k in range(1, len(pts)):  # drop zero-length segments
+        if np.linalg.norm(pts[k] - pts[keep[-1]]) > 1e-12:
+            keep.append(k)
+    pts = pts[keep]
+    if len(pts) < 2:
+        return np.empty((0, 3, 3), dtype=np.float64)
+    segs = np.diff(pts, axis=0)
+    dirs = segs / np.linalg.norm(segs, axis=1)[:, None]
+    # per-vertex (miter) tangents
+    tans = np.vstack([dirs[:1], dirs[:-1] + dirs[1:], dirs[-1:]])
+    tl = np.linalg.norm(tans, axis=1)
+    tl[tl < 1e-12] = 1.0  # 180-degree reversal: keep an arbitrary frame
+    tans = tans / tl[:, None]
+    # initial normal: anything perpendicular to the first tangent
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(tans[0] @ a) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    n = np.cross(tans[0], a)
+    n /= np.linalg.norm(n)
+    theta = np.arange(segments) * (2.0 * np.pi / segments)
+    ct, st = np.cos(theta), np.sin(theta)
+
+    def rings_along_path(r: float) -> np.ndarray:
+        nn = n.copy()
+        rings = np.empty((len(pts), segments, 3))
+        for i, t in enumerate(tans):
+            nn = nn - (nn @ t) * t  # parallel transport
+            ln = np.linalg.norm(nn)
+            if ln < 1e-12:  # tangent parallel to carried normal: re-seed
+                b0 = np.array([1.0, 0.0, 0.0])
+                if abs(t @ b0) > 0.9:
+                    b0 = np.array([0.0, 1.0, 0.0])
+                nn = np.cross(t, b0)
+                ln = np.linalg.norm(nn)
+            nn /= ln
+            bb = np.cross(t, nn)
+            off = r * (ct[:, None] * nn[None, :] + st[:, None] * bb[None, :])
+            if 0 < i < len(pts) - 1:
+                # TRUE MITER at interior vertices: the cross-section in the
+                # bisector plane is the cylinder's elliptical intersection —
+                # stretch the circular offset by 1/cos(half-bend-angle)
+                # along the in-plane direction (a circular ring would pinch
+                # the elbow: ~18% volume loss on a 90-degree bend at r=0.2)
+                d0, d1 = dirs[i - 1], dirs[i]
+                e = d1 - d0
+                el = np.linalg.norm(e)
+                cosh = np.linalg.norm(d0 + d1) / 2.0
+                if el > 1e-12 and cosh > 1e-6:
+                    e = e / el
+                    off = off + np.outer(off @ e, e) * (1.0 / cosh - 1.0)
+            rings[i] = pts[i][None, :] + off
+        return rings
+
+    def tube_walls(rings: np.ndarray, invert: bool) -> list:
+        tris = []
+        for i in range(len(rings) - 1):
+            r0, r1 = rings[i], rings[i + 1]
+            for k in range(segments):
+                j = (k + 1) % segments
+                quad = (
+                    [r0[k], r0[j], r1[j]], [r0[k], r1[j], r1[k]]
+                )
+                if invert:
+                    quad = (
+                        [r0[k], r1[j], r0[j]], [r0[k], r1[k], r1[j]]
+                    )
+                tris.extend(quad)
+        return tris
+
+    outer = rings_along_path(radius)
+    tris = tube_walls(outer, invert=False)
+    if inner_radius and inner_radius > 0.0:
+        inner = rings_along_path(inner_radius)
+        tris.extend(tube_walls(inner, invert=True))
+        for end, flip in ((0, True), (-1, False)):
+            ro, ri = outer[end], inner[end]
+            for k in range(segments):
+                j = (k + 1) % segments
+                quads = ([ro[k], ro[j], ri[j]], [ro[k], ri[j], ri[k]])
+                if flip:
+                    quads = ([ro[k], ri[j], ro[j]], [ro[k], ri[k], ri[j]])
+                tris.extend(quads)
+    else:
+        for end, flip in ((0, True), (-1, False)):
+            ring = outer[end]
+            c = ring.mean(axis=0)
+            for k in range(segments):
+                j = (k + 1) % segments
+                tri = [c, ring[k], ring[j]]
+                if flip:
+                    tri = [c, ring[j], ring[k]]
+                tris.append(tri)
+    return np.asarray(tris, dtype=np.float64)
+
+
 def triangle_normals(tris: np.ndarray):
     """Face normals + doubled areas of (T, 3, 3) triangles — the vectorized
     form of the reference's per-face cross product (obj_writer.py:58-68).

@@ -36,6 +36,8 @@ PRODUCT_CLASSES = (
     "IFCWALL", "IFCWALLSTANDARDCASE", "IFCSLAB", "IFCROOF", "IFCWINDOW",
     "IFCDOOR", "IFCBEAM", "IFCCOLUMN", "IFCSTAIR", "IFCRAILING",
     "IFCFURNISHINGELEMENT", "IFCBUILDINGELEMENTPROXY",
+    # MEP distribution elements (swept-disk pipes/ducts live here)
+    "IFCFLOWSEGMENT", "IFCFLOWFITTING", "IFCPIPESEGMENT", "IFCDUCTSEGMENT",
 )
 
 
@@ -245,6 +247,8 @@ def ifc_product_meshes(entities: DataFrame) -> DataFrame:
     # IFC4 tessellated geometry is already a mesh — decode it directly
     meshes = meshes.unionByName(ifc_tfs_meshes(entities))
     meshes = meshes.unionByName(ifc_pfs_meshes(entities))
+    # swept-disk solids (pipes along a directrix)
+    meshes = meshes.unionByName(ifc_sds_meshes(entities))
     # mapped items (instanced geometry) transform already-evaluated source
     # meshes, so they union AFTER the primitive evaluators ...
     meshes = meshes.unionByName(ifc_mapped_meshes(entities, meshes))
@@ -393,6 +397,67 @@ def _profile_rings(entities: DataFrame):
     )
     ring_rows = polys.join(pts, "pt_id").select("curve_id", "pos", "px", "py")
     return prof, ring_rows
+
+
+def ifc_sds_meshes(entities: DataFrame, segments: int = 16) -> DataFrame:
+    """S3 swept-disk evaluation (IfcSweptDiskSolid — pipes/conduits in MEP
+    models, another shape the reference gets wholesale from ifcopenshell,
+    ifcObjectGeom.py:74-130): the Directrix polyline is swept by the
+    ``sweep_disk`` kernel (parallel-transport frames, TRUE-MITER elliptical
+    elbow rings — the prismatic volume identity holds exactly), with an
+    optional InnerRadius bore. Subset: IFCPOLYLINE directrix, full
+    parameter range (trimmed Start/EndParam sweeps out of scope). Output
+    schema == the swept-solid mesh table."""
+    import pandas as pd
+
+    sds = entities.where(F.col("ifc_class") == "IFCSWEPTDISKSOLID").select(
+        F.col("entity_id").alias("solid_id"),
+        F.regexp_extract("args", r"^#(\d+)", 1).cast("bigint").alias("curve_id"),
+        F.regexp_extract("args", r"#\d+\s*,\s*([0-9][0-9.Ee+\-]*)", 1)
+        .cast("double")
+        .alias("radius"),
+        # InnerRadius when numeric; '$' leaves the extract empty -> null
+        F.regexp_extract(
+            "args", r"#\d+\s*,\s*[0-9][0-9.Ee+\-]*\s*,\s*([0-9][0-9.Ee+\-]*)", 1
+        )
+        .cast("double")
+        .alias("inner_radius"),
+    )
+    polys = entities.where(F.col("ifc_class") == "IFCPOLYLINE").select(
+        F.col("entity_id").alias("curve_id"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_extract("args", r"\(([^()]*)\)", 1), r"[#\s]", ""
+                ),
+                ",",
+            )
+        ).alias("pos", "pt_s"),
+    ).select("curve_id", "pos", F.col("pt_s").cast("bigint").alias("pt_id"))
+    pts3 = ifc_cartesian_points(entities).withColumnRenamed("entity_id", "pt_id")
+    rows = (
+        sds.join(polys, "curve_id")
+        .join(pts3, "pt_id")
+        .select("solid_id", "radius", "inner_radius", "pos", "x", "y", "z")
+    )
+
+    def eval_sds(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..operators.geometry import sweep_disk
+
+        g = pdf.sort_values("pos")
+        r0 = g.iloc[0]
+        inner = (
+            None if pd.isna(r0["inner_radius"]) else float(r0["inner_radius"])
+        )
+        tris = sweep_disk(
+            g[["x", "y", "z"]].to_numpy(dtype=float),
+            float(r0["radius"]),
+            segments=segments,
+            inner_radius=inner,
+        )
+        return pd.DataFrame([_mesh_row(int(r0["solid_id"]), tris)])
+
+    return rows.groupBy("solid_id").applyInPandas(eval_sds, _MESH_SCHEMA)
 
 
 def ifc_revolved_solids(entities: DataFrame) -> DataFrame:

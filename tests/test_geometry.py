@@ -276,3 +276,60 @@ def test_revolve_ring_on_axis_points_filtered():
     # discretized cone over an S-gon base: V = (1/3) * base_area * h
     base = 32 * 0.5 * np.sin(2 * np.pi / 32)
     assert np.isclose(vol, base / 3.0, rtol=1e-9)
+
+
+def test_sweep_disk_straight_tube():
+    """Straight swept-disk solid: closed, outward-oriented, with the exact
+    discretized-polygon volume A_Ngon(r) * length."""
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import (
+        mesh_volume6, sweep_disk, triangle_normals,
+    )
+
+    S, r, L = 16, 0.5, 7.0
+    pts = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, L]])
+    tube = sweep_disk(pts, r, segments=S)
+    a_poly = (S / 2.0) * r * r * np.sin(2.0 * np.pi / S)
+    assert mesh_volume6(tube) == pytest.approx(6.0 * a_poly * L, rel=1e-9)
+    # surface: walls (N-gon perimeter x L) + two caps
+    per = 2.0 * S * r * np.sin(np.pi / S)
+    _, dbl = triangle_normals(tube)
+    assert dbl.sum() / 2.0 == pytest.approx(per * L + 2.0 * a_poly, rel=1e-9)
+
+
+def test_sweep_disk_hollow_tube():
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import mesh_volume6, sweep_disk
+
+    S, ro, ri, L = 16, 0.5, 0.3, 4.0
+    pts = np.array([[1.0, 2.0, 0.0], [1.0, 2.0, L]])
+    tube = sweep_disk(pts, ro, segments=S, inner_radius=ri)
+    a = (S / 2.0) * np.sin(2.0 * np.pi / S)
+    assert mesh_volume6(tube) == pytest.approx(
+        6.0 * (a * ro * ro - a * ri * ri) * L, rel=1e-9
+    )
+
+
+def test_sweep_disk_bend_and_transport():
+    """L-bend pipe: watertight (volume ~ area x path length within miter
+    error) and frames parallel-transported — no flipped/self-intersecting
+    rings, so the signed volume stays positive and near the estimate."""
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import mesh_volume6, sweep_disk
+
+    S, r = 16, 0.2
+    pts = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0], [3.0, 2.0, 0.0],
+                    [3.0, 2.0, 1.5]])
+    tube = sweep_disk(pts, r, segments=S)
+    a_poly = (S / 2.0) * r * r * np.sin(2.0 * np.pi / S)
+    path_len = 3.0 + 2.0 + 1.5
+    v = mesh_volume6(tube) / 6.0
+    # true-miter ellipse rings make the prismatic volume identity EXACT
+    assert v == pytest.approx(a_poly * path_len, rel=1e-9)
+    # degenerate directrix rows (duplicate points) are dropped, not fatal
+    pts_dup = np.array([[0, 0, 0], [0, 0, 0], [0, 0, 2.0]], dtype=float)
+    v2 = mesh_volume6(sweep_disk(pts_dup, r, segments=S)) / 6.0
+    assert v2 == pytest.approx(a_poly * 2.0, rel=1e-9)

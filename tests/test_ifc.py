@@ -827,3 +827,48 @@ def test_ifc_circle_profiles(spark, tmp_path):
     tris = np.frombuffer(bytes(h["tris"]), dtype=np.float32).reshape(-1, 3, 3)
     vol6 = mesh_volume6(tris.astype(np.float64))
     assert abs(vol6 - 6.0 * (area(1.5) - area(1.0)) * 4.0) < 1e-3
+
+
+IFC_SDS_TEXT = """ISO-10303-21;
+HEADER;FILE_SCHEMA(('IFC4'));
+ENDSEC;
+DATA;
+#1= IFCPERSON($,'X',$,$,$,$,$,$);
+#20= IFCFLOWSEGMENT('PIPE_S',#1,'P',$,$,$,#61,$);
+#50= IFCCARTESIANPOINT((0.,0.,0.));
+#51= IFCCARTESIANPOINT((3.,0.,0.));
+#52= IFCCARTESIANPOINT((3.,2.,0.));
+#56= IFCPOLYLINE((#50,#51,#52));
+#59= IFCSWEPTDISKSOLID(#56,0.2,0.1,$,$);
+#60= IFCSHAPEREPRESENTATION($,'Body','SweptSolid',(#59));
+#61= IFCPRODUCTDEFINITIONSHAPE($,$,(#60));
+ENDSEC;
+END-ISO-10303-21;
+"""
+
+
+def test_ifc_swept_disk_solid(spark, tmp_path):
+    """IfcSweptDiskSolid pipe with a bore along an L-bend directrix: the
+    true-miter sweep makes the hollow prismatic volume identity exact."""
+    import numpy as np
+
+    from py3dtilers_spark.operators.geometry import mesh_volume6
+    from py3dtilers_spark.sources.ifc_io import ifc_entities, ifc_product_meshes
+
+    p = tmp_path / "sds.ifc"
+    p.write_text(IFC_SDS_TEXT)
+    rows = {
+        r["global_id"]: r
+        for r in ifc_product_meshes(ifc_entities(spark, str(p))).collect()
+    }
+    assert set(rows) == {"PIPE_S"}
+    m = rows["PIPE_S"]
+    S = 16
+    a = (S / 2.0) * np.sin(2.0 * np.pi / S)
+    tris = np.frombuffer(bytes(m["tris"]), dtype=np.float32).reshape(-1, 3, 3)
+    vol = mesh_volume6(tris.astype(np.float64)) / 6.0
+    want = a * (0.2 ** 2 - 0.1 ** 2) * 5.0
+    assert abs(vol - want) < 1e-3
+    assert m["zmin"] < 0 < m["zmax"]  # tube extends r around the z=0 path
+    # side walls extend r in x; the final flat cap ends exactly at y=2
+    assert abs(m["xmax"] - 3.2) < 0.05 and abs(m["ymax"] - 2.0) < 1e-6
