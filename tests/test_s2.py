@@ -124,3 +124,47 @@ def test_spark_column_surface(spark):
         np.array([r.p10 for r in rows], dtype=np.int64).astype(np.uint64)
         == s2.parent_np(leafs.astype(np.uint64), 10)
     )
+
+
+def test_rollup_oracle_sql_matches_numpy_kernel():
+    """The generated DuckDB SQL (unrolled Hilbert lookup + HUGEINT parent
+    math) must reproduce face_ij_to_id + parent_np exactly on raw integer
+    (face, i, j) rows — no Spark involved."""
+    import duckdb
+    import numpy as np
+
+    from py3dtilers_spark.functions.s2 import (
+        face_ij_to_id, parent_np, s2_rollup_oracle_sql,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 200
+    face = rng.integers(0, 6, n)
+    i = rng.integers(0, 1 << 30, n)
+    j = rng.integers(0, 1 << 30, n)
+    w = rng.integers(0, 100, n)
+
+    leaf = face_ij_to_id(face, i, j)
+    c12 = parent_np(leaf, 12).astype(np.int64)
+    c8 = parent_np(leaf, 8).astype(np.int64)
+    want = {}
+    for a, b, ww in zip(c8, c12, w):
+        key = (int(a), int(b))
+        nn, sw = want.get(key, (0, 0))
+        want[key] = (nn + 1, sw + int(ww))
+
+    con = duckdb.connect()
+    con.execute("SET threads=1")
+    con.register(
+        "src_tbl",
+        __import__("pandas").DataFrame(
+            {"face": face.astype("int64"), "i": i.astype("int64"),
+             "j": j.astype("int64"), "w": w.astype("int64")}
+        ),
+    )
+    sql = s2_rollup_oracle_sql("SELECT face, i, j, w FROM src_tbl")
+    got = {
+        (int(r[0]), int(r[1])): (int(r[2]), int(r[3]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
