@@ -41,7 +41,7 @@ def kd_assign(
     id_col: str = "image_id",
     x_col: str = "x",
     y_col: str = "y",
-    local_cap: int = 200_000,
+    local_cap: int = 1_000_000,
 ) -> DataFrame:
     """Assign each row a kd-leaf ``tile_id`` path bitstring.
 
@@ -49,8 +49,16 @@ def kd_assign(
     every live cell fits ``local_cap`` rows (executor-memory sized); each
     such cell is then finished in a single applyInPandas task running the
     identical recursion locally. Total distributed levels =
-    log2(N / local_cap) (e.g. ~22 for 10^12 rows at cap 200k) instead of
+    log2(N / local_cap) (e.g. ~20 for 10^12 rows at cap 1M) instead of
     log2(N / kd_tree_max); the local phase is embarrassingly parallel.
+
+    local_cap default (round 6): 1M rows. Every distributed level is a
+    full-dataset range shuffle + materialization, so the hybrid switch
+    should come as soon as a cell comfortably fits one task: the finisher
+    is now the vectorized ``kd_rank.kd_finish_numpy`` (~3 us/row, n log n,
+    ~40 B/row working set — a 1M-row cell is ~40 MB of pandas and ~4 s of
+    task CPU). The former 200k cap was sized to the old pure-Python
+    finisher (~7.4 us/row measured at 150k rows).
 
     Since round 5 the shallow split levels use the range-partitioned
     exact-rank step (operators/kd_rank.py): at depth 0-1 a
