@@ -42,13 +42,13 @@ from tools.run_chain import (  # noqa: E402
 )
 
 PROBE_SEC = 40.0
-PROBE_MED = 58.0   # RUN_CLEAN med gate is 55
-PROBE_P10 = 46.0   # RUN_CLEAN p10 gate is 42
+PROBE_MED = 66.0   # RUN_CLEAN med gate is 62 (gate v4, new-kernel scale)
+PROBE_P10 = 49.0   # RUN_CLEAN p10 gate is 45
 # gate-v2 probe additions, on the JOB's CPUs (free between chains): the
 # kernel runs CONTINUOUSLY there during the probe (steal only accrues on a
-# busy vCPU). Idle-healthy cpu_tile is 0.0479/0.0525 med/p90 (no job to
-# timeshare with during a probe, unlike the during-run gate).
-PROBE_CPU_MED = 0.060
+# busy vCPU). Round-6 kernel idle-healthy cpu_tile ~0.045-0.050 med (no job
+# to timeshare with during a probe, unlike the during-run gate).
+PROBE_CPU_MED = 0.055
 PROBE_STEAL_MEAN = COLO_STEAL_MEAN_MAX
 # gate-v3 probe addition: don't spend a chain while the device is being
 # throttled (the RUN_CLEAN storage gate is fsync med <= 40 ms)
@@ -94,7 +94,10 @@ def probe_weather(job_cpus: str) -> dict:
     try:
         time.sleep(PROBE_SEC)
     finally:
-        for proc in (p, pc):
+        # pio included: an interrupted sleep must not orphan the io-calib
+        # subprocess (it exits idempotently if already finished; the later
+        # communicate() still reads its buffered summary line)
+        for proc in (p, pc, pio):
             try:
                 os.killpg(os.getpgid(proc.pid), signal.SIGTERM)
                 proc.wait(timeout=15)

@@ -72,6 +72,47 @@ host throttle pushes it to tens-hundreds of ms. Declared thresholds:
       ambient window, far below a sustained-throttle signature).
 The signal is host-state only (identical probe load at every parallelism
 level, ~0.001% of device bandwidth) — no outcome selection possible.
+
+GATE v4 — DECLARED 2026-08-22 (round 6 START) BEFORE ANY v4 CHAIN RAN,
+from (a) the round-5 full-log calibration (57 chains: the v3 canary floor
+med>=55/p10>=42 admitted hi runs stretched 25-60% — BENCH/BASELINE.md
+"Round-6 candidate declarations", including the logged counterexample that
+a raised floor alone cannot catch) and (b) a fresh probe calibration run
+TODAY against the round-6 kernel (the delta-codec change makes every
+tile-kernel-based threshold scale-shift: idle reserved-canary tps now ~80
+vs ~60-70 on the round-5 kernel; calibration windows in
+/tmp-recorded series, summarized below and in BENCH/BASELINE.md). Three
+changes, all fixed here in advance of any recorded v4 chain:
+
+1. Canary floors re-expressed on the new kernel's tps scale and RAISED
+   relative to idle: med >= 62.0 AND p10 >= 45.0 (idle norm ~80; healthy
+   1-core-run window read med 75.2; a degraded window that inflated a hi
+   run +30% read med 57.3, another +60% read med 32.5 — both now clearly
+   BELOW the floor at the new kernel's resolution, where the round-5
+   kernel read such windows at an indistinguishable 60-61).
+2. Job-CPU steal tightened: mean <= 0.035 (was 0.05), p90 <= 0.12 (was
+   0.15). Both degraded calibration windows today read steal_mean
+   0.033-0.044 with healthy cpu-sec/tile — the v3 threshold passed them.
+   Round-5 certified-clean runs read steal_mean 0.0006-0.019, so 0.035
+   keeps ~2x headroom over every observed healthy window.
+3. NEW co-located PSI probe (tools/psi_probe.py): /proc/pressure io/memory
+   stall fractions sampled every 6 s. Gate: io `full` stall fraction MEAN
+   over the run <= 0.02 AND memory `full` MEAN <= 0.01 (n >= 5 spanning
+   >= 60%). Calibration: idle means 0.000; during healthy runs the job's
+   own write-back bursts reach io_full 0.03-0.095 in ISOLATED intervals
+   but run MEANS stay <= 0.005; a sustained host I/O throttle or balloon
+   reclaim (the round-4 v22 hole and the round-5 invisible-mode
+   candidates) integrates to means far above 0.02. The PSI signal reads
+   kernel stall accounting for the whole guest — it sees bursty
+   write-back blocking BETWEEN fsync probe samples and memory-reclaim
+   stalls no v3 probe measures. The measured job is a fixed function of a
+   fixed input at fixed parallelism, so its healthy stall envelope is a
+   calibration constant; exceedances are host weather (same fixed-job
+   argument that admits the v2 cpu-sec/tile probe).
+Colo cpu-sec/tile thresholds re-calibrated on the new kernel: healthy
+contended med 0.0455-0.0495 / p90 0.0554-0.0562 (insensitive to the
+observed weather modes, retained as the silicon-slowdown catcher):
+med <= 0.062, p90 <= 0.075 (same ~25-35% headroom rule as v2).
 """
 from __future__ import annotations
 
@@ -92,21 +133,22 @@ sys.path.insert(0, REPO)
 CANARY_PROCS = 4
 CANARY_INTERVAL = 4.0
 CANARY_CPU_BASE = 8
-CANARY_MED_MIN = 55.0
-CANARY_P10_MIN = 42.0
+# gate v4 floors, NEW-KERNEL tps scale (module docstring item 1; idle ~80)
+CANARY_MED_MIN = 62.0
+CANARY_P10_MIN = 45.0
 CANARY_MIN_SAMPLES = 5
 CANARY_MIN_SPAN = 0.70
 
-# gate v2: co-located probe thresholds (see module docstring; calibration
-# in BENCH/BASELINE.md "Gate v2" — contended-healthy cpu_tile med 0.0528 /
-# p90 0.0562 s, ~25-40% headroom before the gate trips)
-GATE_VERSION = 3
+# co-located probe thresholds (gate v2 shape, v4 re-calibration: new-kernel
+# contended-healthy cpu_tile med 0.0455-0.0495 / p90 0.0554-0.0562; steal
+# tightened per the round-6 degraded-window calibration — docstring item 2)
+GATE_VERSION = 4
 COLO_INTERVAL = 6.0
 COLO_TILES = 2
-COLO_CPU_MED_MAX = 0.066
-COLO_CPU_P90_MAX = 0.080
-COLO_STEAL_MEAN_MAX = 0.05
-COLO_STEAL_P90_MAX = 0.15
+COLO_CPU_MED_MAX = 0.062
+COLO_CPU_P90_MAX = 0.075
+COLO_STEAL_MEAN_MAX = 0.035
+COLO_STEAL_P90_MAX = 0.12
 COLO_MIN_SAMPLES = 5
 COLO_MIN_SPAN = 0.60
 
@@ -116,6 +158,15 @@ IO_INTERVAL = 6.0
 IO_FSYNC_MED_MAX = 40.0  # ms
 IO_MIN_SAMPLES = 5
 IO_MIN_SPAN = 0.60
+
+# gate v4: co-located PSI (pressure-stall) probe thresholds (docstring
+# item 3; declared from today's idle + healthy-run calibration BEFORE any
+# v4 chain ran)
+PSI_INTERVAL = 6.0
+PSI_IO_FULL_MEAN_MAX = 0.02
+PSI_MEM_FULL_MEAN_MAX = 0.01
+PSI_MIN_SAMPLES = 5
+PSI_MIN_SPAN = 0.60
 
 CHAINS_LOG = os.path.join(REPO, "BENCH", "scaling_chains.jsonl")
 RUNS_LOG = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
@@ -242,10 +293,43 @@ def io_stats(path: str, t0: float, t1: float) -> dict:
     }
 
 
-def run_clean(c: dict, colo: dict | None = None, io: dict | None = None) -> bool:
-    """Gate v3: reserved canary AND co-located CPU probe AND co-located
-    storage probe must all be clean (probes absent -> judged on the rest,
-    for direct callers that predate them)."""
+def psi_stats(path: str, t0: float, t1: float) -> dict:
+    """Summarize the PSI probe series over [t0, t1] (gate v4)."""
+    io_f, mem_f, span_lo, span_hi = [], [], None, None
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if not (t0 <= rec["t"] <= t1):
+                    continue
+                io_f.append(rec["io_full"])
+                mem_f.append(rec["mem_full"])
+                span_lo = rec["t"] if span_lo is None else span_lo
+                span_hi = rec["t"]
+    except OSError:
+        pass
+    dur = max(t1 - t0, 1e-9)
+    span = ((span_hi - span_lo) / dur) if io_f and span_hi is not None else 0.0
+    return {
+        "n": len(io_f),
+        "io_full_mean": round(statistics.mean(io_f), 4) if io_f else 0.0,
+        "io_full_max": round(max(io_f), 4) if io_f else 0.0,
+        "mem_full_mean": round(statistics.mean(mem_f), 4) if mem_f else 0.0,
+        "mem_full_max": round(max(mem_f), 4) if mem_f else 0.0,
+        "span": round(span, 3),
+    }
+
+
+def run_clean(
+    c: dict, colo: dict | None = None, io: dict | None = None,
+    psi: dict | None = None,
+) -> bool:
+    """Gate v4: reserved canary AND co-located CPU probe AND co-located
+    storage probe AND PSI stall probe must all be clean (probes absent ->
+    judged on the rest, for direct callers that predate them)."""
     canary_ok = (
         c["n"] >= CANARY_MIN_SAMPLES
         and c["span"] >= CANARY_MIN_SPAN
@@ -266,6 +350,13 @@ def run_clean(c: dict, colo: dict | None = None, io: dict | None = None) -> bool
             io["n"] >= IO_MIN_SAMPLES
             and io["span"] >= IO_MIN_SPAN
             and io["fsync_med"] <= IO_FSYNC_MED_MAX
+        )
+    if psi is not None:
+        canary_ok = canary_ok and (
+            psi["n"] >= PSI_MIN_SAMPLES
+            and psi["span"] >= PSI_MIN_SPAN
+            and psi["io_full_mean"] <= PSI_IO_FULL_MEAN_MAX
+            and psi["mem_full_mean"] <= PSI_MEM_FULL_MEAN_MAX
         )
     return canary_ok
 
@@ -310,6 +401,15 @@ def run_with_canary(
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
+    # gate-v4 PSI probe: kernel pressure-stall accounting (io/memory), the
+    # signal the per-probe samplers cannot synthesize (module docstring)
+    psi_file = canary_file.replace(".jsonl", "_psi.jsonl")
+    psi_p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "psi_probe.py"),
+         psi_file, str(PSI_INTERVAL)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
     out = os.path.join(out_root, f"c{cores}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -328,12 +428,12 @@ def run_with_canary(
         # ProcessLookupError once communicate() has reaped the leader, which
         # would leave its still-live grandchildren (JVM, forked workers)
         # unsignalled — the orphan class that poisons later runs in the chain
-        for p in (can, colo, io_p, run_p):
+        for p in (can, colo, io_p, psi_p, run_p):
             try:
                 os.killpg(p.pid, signal.SIGTERM)
             except (ProcessLookupError, PermissionError, OSError):
                 pass
-        for p in (can, colo, io_p):
+        for p in (can, colo, io_p, psi_p):
             try:
                 p.wait(timeout=30)
             except Exception:
@@ -349,8 +449,9 @@ def run_with_canary(
     c = canary_stats(canary_file, t0, t1)
     co = colo_stats(colo_file, t0, t1)
     io = io_stats(io_file, t0, t1)
-    rec = {"run": run, "canary": c, "colo": co, "io": io,
-           "clean": run_clean(c, co, io),
+    psi = psi_stats(psi_file, t0, t1)
+    rec = {"run": run, "canary": c, "colo": co, "io": io, "psi": psi,
+           "clean": run_clean(c, co, io, psi),
            "t0": round(t0, 1), "t1": round(t1, 1),
            "canary_file": os.path.relpath(canary_file, REPO)}
     try:
@@ -457,6 +558,10 @@ def run_chain(
             "io_fsync_med_max": IO_FSYNC_MED_MAX,
             "io_min_samples": IO_MIN_SAMPLES,
             "io_min_span": IO_MIN_SPAN,
+            "psi_io_full_mean_max": PSI_IO_FULL_MEAN_MAX,
+            "psi_mem_full_mean_max": PSI_MEM_FULL_MEAN_MAX,
+            "psi_min_samples": PSI_MIN_SAMPLES,
+            "psi_min_span": PSI_MIN_SPAN,
         },
         "runs": runs,
         "estimates": estimates,
