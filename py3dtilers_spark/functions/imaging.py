@@ -217,18 +217,27 @@ def decode(blob: bytes) -> np.ndarray:
     raise ValueError(f"unknown image magic {magic!r}")
 
 
+_WH = struct.Struct("<HH")
+
+
 def decode_into(blob: bytes, out: np.ndarray) -> None:
     """Decode straight into a destination view (an atlas window): no
     per-member image array is ever allocated — decompress, zero-copy
     frombuffer view, dequantize through a reused uint16 scratch (the
     round-to-nearest quantizer emits 64 for inputs >= 254, so *4 must go
     through a wider dtype + cap). On ballooned-memory hosts the avoided
-    per-member allocations are the encode hot path's largest traffic term."""
-    magic, (w, h) = blob[:4], struct.unpack("<HH", blob[4:8])
-    body = np.frombuffer(zlib.decompress(blob[8:]), dtype=np.uint8)
+    per-member allocations are the encode hot path's largest traffic term.
+    Called ~500x per tile: the common QNTV/RAWV member path is hand-inlined
+    (cached Struct, buffer-slice decompress, direct ndarray.cumsum)."""
+    magic = blob[:4]
+    w, h = _WH.unpack_from(blob, 4)
+    body = np.frombuffer(zlib.decompress(memoryview(blob)[8:]), dtype=np.uint8)
     axis = _DELTA_AXIS.get(magic)
     if axis is not None:
-        body = _undelta(body, h, w, axis, scratch=True)
+        flat = body.reshape(h, w * 3)
+        und = _scratch("undelta", flat.shape, np.uint8)
+        flat.cumsum(axis=axis, dtype=np.uint8, out=und)
+        body = und.reshape(h, w, 3)
     else:
         body = body.reshape(h, w, 3)
     if magic in _LOSSLESS_MAGICS:

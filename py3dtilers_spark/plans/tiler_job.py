@@ -170,6 +170,12 @@ def encode_tiles_stream(tiled: DataFrame, files_dir: str | None = None) -> DataF
     def gen(batches):
         buf: list[pd.DataFrame] = []
         cur = None
+
+        def flush():
+            # most tiles sit inside one Arrow batch: skip the concat copy
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            return _sink_tile_payload(encode_tile(pdf), files_dir)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -180,16 +186,12 @@ def encode_tiles_stream(tiled: DataFrame, files_dir: str | None = None) -> DataF
             for s, e in zip(starts, ends):
                 tid = tids[s]
                 if cur is not None and tid != cur and buf:
-                    yield _sink_tile_payload(
-                        encode_tile(pd.concat(buf, ignore_index=True)), files_dir
-                    )
+                    yield flush()
                     buf = []
                 cur = tid
                 buf.append(pdf.iloc[s:e])
         if buf:
-            yield _sink_tile_payload(
-                encode_tile(pd.concat(buf, ignore_index=True)), files_dir
-            )
+            yield flush()
 
     return tiled.mapInPandas(gen, ENCODED_SCHEMA)
 
