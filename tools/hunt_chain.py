@@ -46,9 +46,12 @@ PROBE_MED = 66.0   # RUN_CLEAN med gate is 62 (gate v4, new-kernel scale)
 PROBE_P10 = 49.0   # RUN_CLEAN p10 gate is 45
 # gate-v2 probe additions, on the JOB's CPUs (free between chains): the
 # kernel runs CONTINUOUSLY there during the probe (steal only accrues on a
-# busy vCPU). Round-6 kernel idle-healthy cpu_tile ~0.045-0.050 med (no job
-# to timeshare with during a probe, unlike the during-run gate).
-PROBE_CPU_MED = 0.055
+# busy vCPU). In continuous back-to-back mode the four probe processes
+# contend with EACH OTHER for cache/membw: healthy reads are ~0.056 (vs
+# ~0.045-0.050 for the run gate's 2-tile bursts), so the scheduling floor
+# sits above the run-gate threshold — it only decides WHEN to spend a
+# chain, never what certifies.
+PROBE_CPU_MED = 0.064
 PROBE_STEAL_MEAN = COLO_STEAL_MEAN_MAX
 # gate-v3 probe addition: don't spend a chain while the device is being
 # throttled (the RUN_CLEAN storage gate is fsync med <= 40 ms)
