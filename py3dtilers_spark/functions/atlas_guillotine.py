@@ -83,7 +83,14 @@ def pack_guillotine(rects: list) -> tuple:
     Returns ({key: (left, top)}, (atlas_w, atlas_h)). Iteration order of
     equal-area rects is preserved (stable sort), matching the reference's
     sorted(dict.items(), key=area, reverse=True).
+
+    Rect dimensions must be >= 1 (the reference operates on PIL images, so
+    sizes are always positive); a zero/negative size would otherwise be
+    placed degenerately or spin the grow loop — fail loudly instead.
     """
+    for key, w, h in rects:
+        if int(w) < 1 or int(h) < 1:
+            raise ValueError(f"pack_guillotine: non-positive rect {key}: {w}x{h}")
     order = sorted(rects, key=lambda r: r[1] * r[2], reverse=True)
     total = sum(r[1] * r[2] for r in rects)
     size = _pow2_at_least(total ** 0.5)

@@ -406,8 +406,11 @@ def ifc_sds_meshes(entities: DataFrame, segments: int = 16) -> DataFrame:
     ``sweep_disk`` kernel (parallel-transport frames, TRUE-MITER elliptical
     elbow rings — the prismatic volume identity holds exactly), with an
     optional InnerRadius bore. Subset: IFCPOLYLINE directrix, full
-    parameter range (trimmed Start/EndParam sweeps out of scope). Output
-    schema == the swept-solid mesh table."""
+    parameter range only — solids with a NUMERIC StartParam/EndParam
+    (trimmed sweeps) are filtered out rather than mis-evaluated as the
+    full directrix tube, consistent with how non-polyline directrices
+    drop via the inner join. Output schema == the swept-solid mesh
+    table."""
     import pandas as pd
 
     sds = entities.where(F.col("ifc_class") == "IFCSWEPTDISKSOLID").select(
@@ -422,7 +425,16 @@ def ifc_sds_meshes(entities: DataFrame, segments: int = 16) -> DataFrame:
         )
         .cast("double")
         .alias("inner_radius"),
-    )
+        # StartParam / EndParam (4th/5th args): a NUMERIC value means a
+        # TRIMMED sweep, which this subset does not evaluate — such solids
+        # are dropped below (consistent with the subset policy of omitting
+        # unsupported forms) instead of silently emitting the full tube
+        F.trim(F.element_at(F.split("args", ","), 4)).alias("_p_start"),
+        F.trim(F.element_at(F.split("args", ","), 5)).alias("_p_end"),
+    ).where(
+        (F.col("_p_start").isNull() | ~F.col("_p_start").rlike(r"^[0-9.+\-]"))
+        & (F.col("_p_end").isNull() | ~F.col("_p_end").rlike(r"^[0-9.+\-]"))
+    ).drop("_p_start", "_p_end")
     polys = entities.where(F.col("ifc_class") == "IFCPOLYLINE").select(
         F.col("entity_id").alias("curve_id"),
         F.posexplode(

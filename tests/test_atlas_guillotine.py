@@ -139,3 +139,14 @@ def test_downsample_pow2_rule():
     assert downsample_pow2(1024, 512, 1) == (1024, 512)
     assert downsample_pow2(1024, 512, 2) == (512, 256)
     assert downsample_pow2(1000, 300, 2) == (512, 256)  # next pow2 >= 150
+
+
+def test_rejects_non_positive_rects():
+    import pytest
+
+    from py3dtilers_spark.functions.atlas_guillotine import pack_guillotine
+
+    with pytest.raises(ValueError, match="non-positive"):
+        pack_guillotine([("a", 4, 4), ("b", 0, 3)])
+    with pytest.raises(ValueError, match="non-positive"):
+        pack_guillotine([("a", -2, 4)])

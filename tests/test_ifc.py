@@ -872,3 +872,24 @@ def test_ifc_swept_disk_solid(spark, tmp_path):
     assert m["zmin"] < 0 < m["zmax"]  # tube extends r around the z=0 path
     # side walls extend r in x; the final flat cap ends exactly at y=2
     assert abs(m["xmax"] - 3.2) < 0.05 and abs(m["ymax"] - 2.0) < 1e-6
+
+
+IFC_SDS_TRIMMED_TEXT = IFC_SDS_TEXT.replace(
+    "#59= IFCSWEPTDISKSOLID(#56,0.2,0.1,$,$);",
+    "#59= IFCSWEPTDISKSOLID(#56,0.2,0.1,0.5,4.0);",
+)
+
+
+def test_ifc_swept_disk_trimmed_is_dropped(spark, tmp_path):
+    """A numeric StartParam/EndParam (trimmed sweep) is outside the
+    evaluated subset: the solid must be OMITTED (like non-polyline
+    directrices), never silently evaluated as the full tube."""
+    from py3dtilers_spark.sources.ifc_io import ifc_entities, ifc_sds_meshes
+
+    p = tmp_path / "sds_trim.ifc"
+    p.write_text(IFC_SDS_TRIMMED_TEXT)
+    assert ifc_sds_meshes(ifc_entities(spark, str(p))).count() == 0
+    # the untrimmed twin still evaluates
+    p2 = tmp_path / "sds_full.ifc"
+    p2.write_text(IFC_SDS_TEXT)
+    assert ifc_sds_meshes(ifc_entities(spark, str(p2))).count() == 1
